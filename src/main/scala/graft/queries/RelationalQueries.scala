@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The declared correctness query set (SURVEY.md §2.8) — capability parity
+  * for every relational operator class the engine supports, expressed in the
+  * DataFrame API so Catalyst plans them (predicate pushdown, column pruning,
+  * broadcast joins, AQE all apply).
+  *
+  * Conventions (driver oracle contract):
+  *  - every computed column is aliased identically here and in the oracle SQL;
+  *  - every query ends in a total ORDER BY, so row order is deterministic;
+  *  - money aggregates go through DECIMAL(18,2) so Spark and DuckDB sums are
+  *    bit-identical (double summation order is not associative);
+  *  - integer-kind columns are cast so Spark and DuckDB output types agree
+  *    (Spark row_number→int vs DuckDB→bigint, etc. — handled in the SQL).
+  *
+  * Scale notes (100 TB): every query here is shuffle-minimal — dimension
+  * joins (nation/region/supplier) are broadcast; fact-side aggregations are
+  * partial (map-side combine) by construction because we use built-in
+  * hash aggregates; sorts happen once, after aggregation, on reduced data.
+  */
+object RelationalQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec3 = DecimalType(18, 3)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q01 scan + projection + filter + sort. Filter and 3-column projection
+    * both push into the parquet scan (verify: PushedFilters in explain). */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Q02 equi inner join (broadcast dim) + hash aggregate. */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast(dec2)).cast(dec2).as("bal"))
+      .orderBy(col("n_name"))
+
+  /** Q03 multi-way join + theta predicate on the fact side. */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(broadcast(t(s, dir, "nation")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier").where(col("s_acctbal") > 0),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Q04 left semi join (IN subquery). */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").where(col("o_totalprice") > 100000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Q05 left anti join (NOT IN; the reference's insert-guard J2 shape). */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Q06 outer join with join-side predicate + null handling. */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderstatus") === "F", "left")
+      .select(col("c_custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
+      .orderBy(col("c_custkey"), col("ok"))
+
+  /** Q07 group-ALL / bool aggregate (the all-or-nothing patch filter A1). */
+  def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(when(col("l_quantity") < 49, 1).otherwise(0)).as("m"))
+      .where(col("m") === 1)
+      .select(col("l_orderkey"))
+      .orderBy(col("l_orderkey"))
+
+  /** Q08 distinct + UNION (set semantics). */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("x"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("x")))
+      .distinct()
+      .orderBy(col("x"))
+
+  /** Q09a INTERSECT. */
+  def q09a(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Q09b EXCEPT. */
+  def q09b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(col("n_nationkey").as("k"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Q10 ranking window, top-k per group. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Q11 analytic window with frame spec (running sum — light-curve analog). */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    // l_linenumber is NOT unique per order in this dataset; the extra keys
+    // make the ROWS frame (and so the running sum) deterministic.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_extendedprice").cast(dec2)).over(w).cast(dec2).as("run"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("run"))
+  }
+
+  /** Q12 ROLLUP (hierarchical aggregation). */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last, col("cnt"))
+
+  /** Q13 top-k by sort + limit (planned as TakeOrderedAndProject — no full
+    * sort of the fact table at scale). */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Q14 scalar string/date/math functions. */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri"),
+        col("o_orderdate").cast(DateType).as("d"),
+        floor(col("o_totalprice") / 1000).as("kbucket"),
+        length(col("o_orderstatus")).as("ls"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q15 tumbling event-time window, batch form (S6's 5 s micro-window). */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec3)).cast(dec3).as("sv"))
+      .orderBy(col("w"), col("event_type"))
+
+  /** Q16 exact distinct count per group. */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy(col("event_type"))
+
+  /** Q17 explode/generator (patch-offset expansion G1). */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        explode(sequence(lit(1), col("p_size") % 3 + 1)).as("off"))
+      .orderBy(col("p_partkey"), col("off"))
+
+  /** Q18 array aggregate: collect + sort (deterministic array build). */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .orderBy(col("l_orderkey"))
+
+  /** Q19 correlated scalar subquery, decorrelated into agg + equi join —
+    * the plan Catalyst's decorrelation would produce, written directly. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgPerCust = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("ap"))
+    o.join(avgPerCust, col("o_custkey") === col("ck"))
+      .where(col("o_totalprice") > col("ap"))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Q20 the EPIC pipeline shape end-to-end on relational stand-ins:
+    * broadcast join (J1) → explode (G1) → filter → group-ALL (A1). */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    broadcast(t(s, dir, "nation"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("off", explode(sequence(lit(0), lit(2))))
+      .where(col("c_acctbal") + col("off") > 0)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("c"),
+        min(when(col("c_custkey") > 0, 1).otherwise(0)).as("m"))
+      .where(col("m") === 1)
+      .select(col("n_name"), col("c"))
+      .orderBy(col("n_name"))
+
+  /** name → query fn, for SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_sort" -> (q01 _),
+    "q02_join_agg" -> (q02 _),
+    "q03_multijoin_theta" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q05_anti_join" -> (q05 _),
+    "q06_outer_join" -> (q06 _),
+    "q07_group_all" -> (q07 _),
+    "q08_union_distinct" -> (q08 _),
+    "q09a_intersect" -> (q09a _),
+    "q09b_except" -> (q09b _),
+    "q10_rank_window" -> (q10 _),
+    "q11_running_window" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_topk" -> (q13 _),
+    "q14_scalar_funcs" -> (q14 _),
+    "q15_time_window" -> (q15 _),
+    "q16_distinct_count" -> (q16 _),
+    "q17_explode" -> (q17 _),
+    "q18_array_agg" -> (q18 _),
+    "q19_correlated_subquery" -> (q19 _),
+    "q20_epic_shape" -> (q20 _),
+  )
+
+  /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
+    * above (casts documented in the object Scaladoc). */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_join_agg" ->
+      """SELECT n.n_name, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q03_multijoin_theta" ->
+      """SELECT r.r_name, n.n_name, COUNT(s.s_suppkey) AS n_supp
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 0
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_outer_join" ->
+      """SELECT c.c_custkey, COALESCE(CAST(o.o_orderkey AS BIGINT), -1) AS ok
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+        |ORDER BY c.c_custkey, ok""".stripMargin,
+    "q07_group_all" ->
+      """SELECT l_orderkey FROM lineitem
+        |GROUP BY l_orderkey HAVING MIN(CASE WHEN l_quantity < 49 THEN 1 ELSE 0 END) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q08_union_distinct" ->
+      """SELECT x FROM (SELECT DISTINCT c_nationkey AS x FROM customer
+        |               UNION SELECT DISTINCT s_nationkey FROM supplier) t
+        |ORDER BY x""".stripMargin,
+    "q09a_intersect" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+        |) t ORDER BY k""".stripMargin,
+    "q09b_except" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey FROM supplier
+        |) t ORDER BY k""".stripMargin,
+    "q10_rank_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q11_running_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY l_orderkey
+        |               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, run""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST, cnt""".stripMargin,
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q14_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS pri,
+        |       CAST(o_orderdate AS DATE) AS d,
+        |       CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS kbucket,
+        |       CAST(LENGTH(o_orderstatus) AS INTEGER) AS ls
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q15_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sv
+        |FROM events GROUP BY 1, 2
+        |ORDER BY w, event_type""".stripMargin,
+    "q16_distinct_count" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_explode" ->
+      """SELECT p_partkey, off FROM (
+        |  SELECT p_partkey, CAST(UNNEST(generate_series(1, p_size % 3 + 1)) AS INTEGER) AS off
+        |  FROM part) t
+        |ORDER BY p_partkey, off""".stripMargin,
+    "q18_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q19_correlated_subquery" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_epic_shape" ->
+      """SELECT n_name, COUNT(*) AS c FROM (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal, t.off
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  CROSS JOIN (VALUES (0), (1), (2)) AS t(off)
+        |) x WHERE c_acctbal + off > 0
+        |GROUP BY n_name
+        |HAVING MIN(CASE WHEN c_custkey > 0 THEN 1 ELSE 0 END) = 1
+        |ORDER BY n_name""".stripMargin,
+  )
+}
