@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / similarity primitives for the LLM-data-pipeline operators.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` higher-order
+  * functions — no UDFs — so the expressions stay inside Catalyst (prunable,
+  * pushdown-friendly) and are exactly reproducible in the DuckDB oracle SQL
+  * (same fold order, same integer arithmetic).
+  *
+  * Determinism contract: hashes are explicit polynomial/affine arithmetic,
+  * not engine-native hash functions (Spark's xxhash64 and DuckDB's hash()
+  * disagree), so the oracle can replay them bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Modulus for all polynomial/affine hashes (fits comfortably in a long:
+    * acc < 1e9, acc*31 + 127 < 2^35). */
+  val Mod = 1000000007L
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Rolling polynomial hash over the characters of a string:
+    * fold(acc, ch) = (acc*31 + codepoint(ch)) mod 1e9+7. This is the
+    * document fingerprint and the shingle hash. */
+  def fingerprint(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % Mod)
+
+  /** 3-word shingles of a token array (1-based element_at); empty when the
+    * document has fewer than 3 tokens. */
+  def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** i-th minhash permutation of a shingle fingerprint: affine map
+    * (f*(37+2i) + 1000+i) mod 1e9+7 — min over shingles per doc gives
+    * signature position i. */
+  def minhashPerm(f: Column, i: Int): Column =
+    (f * (37L + 2L * i) + (1000L + i)) % Mod
+
+  /** BPE-ish token-count estimate: runs of letters, runs of digits, and
+    * single non-alnum glyphs each count as one token. */
+  def bpeCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Cast a float embedding to double exactly (widening). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential left-fold dot product — same order as DuckDB's
+    * list_reduce(list_prepend(0.0, ...)), so results are bit-identical. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Cosine similarity via sequential folds. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random hyperplane j (64-dim): coordinate d is
+    * ((1103515245*(j*64+d) + 12345) mod 2001) - 1000, as double. The same
+    * integer arithmetic is replayed in the oracle SQL. */
+  def hyperplane(j: Int, dim: Int = 64): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      d => ((lit(1103515245L) * (lit(j * dim) + d) + 12345L) % 2001L - 1000L)
+        .cast("double"))
+
+  /** Sign-bit of the projection of `v` onto hyperplane j. */
+  def lshBit(v: Column, j: Int, dim: Int = 64): Column =
+    when(dot(v, hyperplane(j, dim)) > 0d, lit(1L)).otherwise(lit(0L))
+
+  /** LSH bucket id from `nBits` hyperplane sign bits. */
+  def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =
+    (0 until nBits).map(j => lshBit(v, j, dim) * (1L << j))
+      .reduce(_ + _)
+}

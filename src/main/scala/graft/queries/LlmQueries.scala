@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ArrayElementSum
+import graft.functions.TextFunctions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), and text analysis (tokens, quality, language-ID, fingerprinting).
+  *
+  * Scale design (100 TB):
+  *  - similarity self-joins key on the shingle/band/bucket hash — Spark
+  *    shuffles both sides by that key, so each pair is produced on exactly
+  *    one executor, no broadcast of the corpus anywhere;
+  *  - MinHash-LSH and the LSH-bucketed ANN are the scale path: candidate
+  *    generation is an equi-join on band/bucket (linear-ish), and the
+  *    expensive exact check runs only on candidates;
+  *  - every hash is explicit arithmetic (TextFunctions), so results are
+  *    reproducible in the DuckDB oracle and across engines/partitionings.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** (doc_id, f): distinct 3-word-shingle fingerprints per document. */
+  private def shingleFps(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("w"))).as("s"))
+      .select(col("doc_id"), fingerprint(col("s")).as("f"))
+      .distinct()
+
+  /** Exact pairwise Jaccard over shingle-fingerprint sets, for pairs that
+    * share at least one shingle (pairs sharing none have jac=0 and are
+    * never wanted). Shuffle key = fingerprint: no cross join materializes. */
+  private def jaccardPairs(fp: DataFrame): DataFrame = {
+    val card = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = fp.as("x").join(fp.as("y"),
+        col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(card.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(card.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("i") * lit(1.0d) / (col("na") + col("nb") - col("i"))).as("jac"))
+  }
+
+  // ---- text analysis ----------------------------------------------------
+
+  /** T01: token counting — whitespace tokens + BPE-ish regex estimate. */
+  def t01TokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars_m"),
+      bpeCount(col("text")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** T02: quality scoring — distinct-token ratio × length saturation. */
+  def t02Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        round(size(array_distinct(col("w"))) * lit(1.0d) / size(col("w")), 4)
+          .as("distinct_ratio"),
+        round(aggregate(transform(col("w"), t => length(t).cast("long")),
+          lit(0L), (acc, v) => acc + v) * lit(1.0d) / size(col("w")), 4)
+          .as("mean_token_len"),
+        round((size(array_distinct(col("w"))) * lit(1.0d) / size(col("w"))) *
+          least(size(col("w")) / lit(100.0d), lit(1.0d)), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** T03: language ID via stopword-marker counts (n-gram heuristic class).
+    * Ties resolve en > de > fr > es > und — fixed, documented order. */
+  def t03LangId(s: SparkSession, dir: String): DataFrame = {
+    def hits(w: Column, words: Seq[String]): Column =
+      size(filter(w, t => words.map(t === _).reduce(_ || _)))
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        hits(col("w"), Seq("the", "a")).as("s_en"),
+        hits(col("w"), Seq("der", "und")).as("s_de"),
+        hits(col("w"), Seq("le", "et")).as("s_fr"),
+        hits(col("w"), Seq("el", "y")).as("s_es"))
+    d.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+          col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T04: document fingerprint (rolling polynomial hash). */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ---- deduplication ----------------------------------------------------
+
+  /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
+    * At scale this groups by fingerprint first (cheap shuffle key) and
+    * only compares full text within a fingerprint bucket. */
+  def d01DedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** D02: n-gram Jaccard near-dedup — exact pairwise Jaccard ≥ 0.8 over
+    * 3-word shingles. Quadratic in co-shingled docs; D03 is the scale path. */
+  def d02NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingleFps(docs(s, dir)))
+      .where(col("jac") >= 0.8d)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("a"), col("b"))
+
+  /** D03: MinHash+LSH near-dedup — 16 minhash perms, 4 bands × 4 rows;
+    * candidates = docs sharing a band key (equi-join, linear-ish at scale),
+    * then exact-Jaccard verification at 0.8 on candidates only. */
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val fp = shingleFps(docs(s, dir))
+    val sig = fp.groupBy(col("doc_id"))
+      .agg(min(minhashPerm(col("f"), 0)).as("m0"),
+        (1 until 16).map(i => min(minhashPerm(col("f"), i)).as(s"m$i")): _*)
+    val bandKeys = (0 until 4).map(b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardPairs(fp).join(cand, Seq("a", "b"))
+      .where(col("jac") >= 0.8d)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
+    * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
+    * Hamming distance ≤ 5. Signature build is one groupBy; at scale the
+    * pair join would key on signature bands like D03. */
+  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val fp = shingleFps(docs(s, dir))
+    val sumCols = (0 until 32).map(j =>
+      sum(when((col("f") * (2 * j + 3) + j) % Mod % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val sums = fp.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val h = sums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L) * (1L << j)).otherwise(0L))
+        .reduce(_ + _).as("h"))
+    h.as("x").join(h.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+      .where(col("hamming") <= 5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** D05: embedding-cosine near-dedup — pairs with cosine ≥ 0.45 (this
+    * corpus's near-dup band; see BASELINE notes). Brute-force pair join at
+    * test scale; S02's LSH bucketing is the 100 TB path. */
+  def d05EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("sim"))
+      .where(col("sim") >= 0.45d)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- similarity search ------------------------------------------------
+
+  /** S01: brute-force cosine top-k — exact kNN (k=5) for query vectors
+    * vec_id < 10. The baseline the ANN variants are measured against. */
+  def s01AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("qv"))
+    val scored = q.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
+  /** S02: LSH-bucketed ANN — 4 deterministic hyperplane sign bits put each
+    * vector in one of 16 buckets; search only within the query's bucket.
+    * At 100 TB: bucket is the shuffle/partition key, queries broadcast to
+    * their bucket's partition only. */
+  def s02AnnLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), 4))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("bucket").as("qb"))
+    val scored = q.join(e,
+        col("bucket") === col("qb") && col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
+  // ---- array aggregate (A3) ---------------------------------------------
+
+  /** A01: element-wise array sum via the ArrayElementSum Aggregator —
+    * ragged arrays zero-pad like the reference's PL/pgSQL array_add
+    * (functions.sql:14-17). Values are integral doubles so distributed
+    * summation order cannot perturb the result. */
+  def a01ArrayElementSum(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        slice(array(col("l_quantity"), col("l_linenumber").cast("double"),
+          col("l_quantity") + col("l_linenumber")),
+          lit(1), (col("l_orderkey") % 3 + 1).cast("int")).as("arr"))
+      .groupBy(col("l_returnflag"))
+      .agg(ArrayElementSum.column(col("arr")).as("sums"))
+      .orderBy(col("l_returnflag"))
+
+  // ---- multimodal metadata (binary-column plumbing) ---------------------
+
+  /** M01: multimodal column metadata — treats the document payload as an
+    * opaque binary column (the pattern image/audio payloads use: see
+    * graft.operators.Multimodal for the decode plumbing) and derives typed
+    * metadata: byte length, checksum, deterministic fake decode dims. */
+  def m01MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text").cast("binary")).as("n_bytes"),
+      fingerprint(col("text")).as("checksum"),
+      (length(col("text").cast("binary")) % 64 + 1).as("fake_w"),
+      (length(col("text").cast("binary")) % 48 + 1).as("fake_h"))
+      .orderBy(col("doc_id"))
+
+  // ---- registry ---------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_quality_score" -> (t02Quality _),
+    "t03_lang_id" -> (t03LangId _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "d01_dedup_exact" -> (d01DedupExact _),
+    "d02_dedup_ngram_jaccard" -> (d02NgramJaccard _),
+    "d03_dedup_minhash_lsh" -> (d03MinhashLsh _),
+    "d04_dedup_simhash" -> (d04Simhash _),
+    "d05_dedup_embed_cosine" -> (d05EmbedNearDup _),
+    "s01_ann_cosine_topk" -> (s01AnnTopK _),
+    "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
+    "a01_array_element_sum" -> (a01ArrayElementSum _),
+    "m01_multimodal_meta" -> (m01MultimodalMeta _),
+  )
+
+  // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
+  // order (list_reduce over a 0-prepended list == Spark aggregate with 0 init).
+  private val W =
+    """words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+      |           FROM documents)""".stripMargin
+  private val FP =
+    s"""$W,
+       |shg AS (SELECT doc_id,
+       |         UNNEST(list_transform(range(1, greatest(len(w)-1,1)),
+       |                i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+       |        FROM words WHERE len(w)>=3),
+       |fp AS (SELECT DISTINCT doc_id,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          [CAST(ascii(x) AS BIGINT) for x in string_split(s,'')]),
+       |          (a,b)->(a*31+b)%1000000007) f
+       |       FROM shg)""".stripMargin
+  private val JAC =
+    s"""$FP,
+       |card AS (SELECT doc_id, count(*) n FROM fp GROUP BY 1),
+       |inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+       |          FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT a, b, i*1.0/(ca.n + cb.n - i) jac
+       |        FROM inter JOIN card ca ON ca.doc_id = a
+       |                   JOIN card cb ON cb.doc_id = b)""".stripMargin
+  private val EMB =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |pair_sim AS (SELECT x.vec_id a, y.vec_id b,
+      |  round(
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])), (p,q)->p+q)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(range(1, len(x.v)+1), i -> x.v[i]*x.v[i])), (p,q)->p+q))
+      |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])), (p,q)->p+q)))
+      |  , 6) sim
+      |  FROM e x, e y)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""WITH $W
+         |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars_m,
+         |       CAST(len(regexp_extract_all(text,
+         |            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe
+         |FROM words JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH $W
+         |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |       round(len(list_distinct(w))*1.0/len(w), 4) AS distinct_ratio,
+         |       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [CAST(length(x) AS BIGINT) for x in w]), (a,b)->a+b)
+         |          *1.0/len(w), 4) AS mean_token_len,
+         |       round((len(list_distinct(w))*1.0/len(w)) *
+         |             least(len(w)/100.0, 1.0), 4) AS quality
+         |FROM words ORDER BY doc_id""".stripMargin,
+    "t03_lang_id" ->
+      s"""WITH $W,
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_filter(w, t -> t='the' OR t='a')) AS INTEGER) s_en,
+         |  CAST(len(list_filter(w, t -> t='der' OR t='und')) AS INTEGER) s_de,
+         |  CAST(len(list_filter(w, t -> t='le' OR t='et')) AS INTEGER) s_fr,
+         |  CAST(len(list_filter(w, t -> t='el' OR t='y')) AS INTEGER) s_es
+         |  FROM words)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en>=s_de AND s_en>=s_fr AND s_en>=s_es AND s_en>0 THEN 'en'
+         |       WHEN s_de>=s_fr AND s_de>=s_es AND s_de>0 THEN 'de'
+         |       WHEN s_fr>=s_es AND s_fr>0 THEN 'fr'
+         |       WHEN s_es>0 THEN 'es' ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |    (a,b)->(a*31+b)%1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d02_dedup_ngram_jaccard" ->
+      s"""WITH $JAC
+         |SELECT a, b, round(jac, 4) AS jac FROM jac
+         |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
+    "d03_dedup_minhash_lsh" ->
+      s"""WITH $JAC,
+         |sig AS (SELECT doc_id, i, min((f*(37+2*i)+1000+i)%1000000007) m
+         |        FROM fp CROSS JOIN (SELECT UNNEST(range(0,16)) i)
+         |        GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i//4 band,
+         |                string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) k
+         |         FROM sig GROUP BY doc_id, i//4),
+         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+         |         FROM band x JOIN band y
+         |           ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id)
+         |SELECT a, b, round(jac, 4) AS jac
+         |FROM jac JOIN cand USING (a, b)
+         |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
+    "d04_dedup_simhash" ->
+      s"""WITH $FP,
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN SUM(CASE WHEN (f*(2*j+3)+j) % 1000000007 % 2 = 1
+         |                       THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) ELSE 0 END AS bt
+         |  FROM fp CROSS JOIN (SELECT UNNEST(range(0,32)) j)
+         |  GROUP BY doc_id, j),
+         |sh AS (SELECT doc_id, CAST(SUM(bt << j) AS BIGINT) h
+         |       FROM bits GROUP BY doc_id)
+         |SELECT x.doc_id a, y.doc_id b,
+         |       CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.h, y.h)) <= 5
+         |ORDER BY a, b""".stripMargin,
+    "d05_dedup_embed_cosine" ->
+      s"""WITH $EMB
+         |SELECT a, b, sim FROM pair_sim
+         |WHERE a < b AND sim >= 0.45 ORDER BY a, b""".stripMargin,
+    "s01_ann_cosine_topk" ->
+      s"""WITH $EMB,
+         |ranked AS (SELECT a q, b nb, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b)
+         |         AS INTEGER) rk
+         |  FROM pair_sim WHERE a < 10 AND a <> b)
+         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+         |ORDER BY q, rk""".stripMargin,
+    "s02_ann_lsh_topk" ->
+      s"""WITH $EMB,
+         |bkt AS (SELECT vec_id, v,
+         |  (SELECT SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(0, len(v)),
+         |        d -> v[d+1] * CAST((CAST(1103515245 AS BIGINT)*(j*64+d)+12345)%2001-1000 AS DOUBLE))),
+         |      (p,q)->p+q) > 0 THEN 1 << j ELSE 0 END)
+         |   FROM (SELECT UNNEST(range(0,4)) j)) bucket
+         |  FROM e),
+         |scored AS (SELECT q.vec_id q, c.vec_id nb,
+         |    round(
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])), (p,s)->p+s)
+         |      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(q.v)+1), i -> q.v[i]*q.v[i])), (p,s)->p+s))
+         |       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])), (p,s)->p+s)))
+         |    , 6) sim
+         |  FROM bkt q JOIN bkt c
+         |    ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT q, nb, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+         |         AS INTEGER) rk FROM scored)
+         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+         |ORDER BY q, rk""".stripMargin,
+    "a01_array_element_sum" ->
+      """WITH arrs AS (SELECT l_returnflag,
+        |    list_slice([l_quantity, CAST(l_linenumber AS DOUBLE),
+        |                l_quantity + l_linenumber],
+        |               1, CAST(l_orderkey % 3 + 1 AS INTEGER)) arr
+        |  FROM lineitem),
+        |flat AS (SELECT l_returnflag, UNNEST(arr) v,
+        |                UNNEST(range(1, len(arr)+1)) idx FROM arrs),
+        |sums AS (SELECT l_returnflag, idx, SUM(v) s FROM flat GROUP BY 1, 2)
+        |SELECT l_returnflag, list(s ORDER BY idx) AS sums
+        |FROM sums GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |    (a,b)->(a*31+b)%1000000007) AS checksum,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_w,
+        |  CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
