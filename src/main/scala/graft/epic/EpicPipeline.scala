@@ -1,0 +1,233 @@
+package graft.epic
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The EPIC hot path (SURVEY.md §3.1), re-expressed as one declarative Spark
+  * plan: image cubes × watchlist → per-source pixel patches → two output
+  * frames (`epic_pixels`, `epic_img_metadata`).
+  *
+  * Reference dataflow being re-expressed (citations into
+  * /root/reference/src/epic_stream_processor/epic_services/):
+  *   watch_dog.py:359-498 (gen_pixdata_dfs) — world2pix → nearest_pix → FOV
+  *   mask → patch explode → pix2world → NaN+FOV mask → all-or-nothing group
+  *   filter → pixel gather → lm lookup → two DataFrames;
+  *   uds_server.py:111-119 — each image is paired with the full current
+  *   watchlist (the stream–static broadcast join J1).
+  *
+  * Scale design: the watchlist is the small side — always broadcast; the
+  * image stream is the big side and is never shuffled until the (tiny)
+  * group-ALL window over (image, source) patch rows. Header extraction,
+  * projection, patch explode, filters and the gather are all narrow,
+  * codegen-fused transforms, so a 1000-executor cluster processes images
+  * embarrassingly parallel.
+  *
+  * Intentional divergences from the reference (documented, test-pinned):
+  *  - epoch id is a content hash (DATETIME+FILENAME) instead of uuid4 —
+  *    deterministic across retries/actions, required for exactly-once
+  *    semantics on a cluster (uuid4 would differ between the pixels and
+  *    metadata actions);
+  *  - pixel_coord/skypos/lm are typed structs, not PG POINT/EWKT strings
+  *    (formatting belongs in the JDBC sink boundary, SURVEY §1.2);
+  *  - pixel_coord is 0-based (the reference stores the 1-based astropy x,y
+  *    it later decrements when indexing, watch_dog.py:442-455).
+  */
+object EpicPipeline {
+
+  /** Decoded image-record schema (FIXTURES.md A.1). */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("primary_hdr", MapType(StringType, StringType)),
+    StructField("img_hdr", MapType(StringType, StringType)),
+    StructField("dtype", StringType),
+    StructField("shape", ArrayType(IntegerType)),
+    StructField("image", ArrayType(FloatType))))
+
+  /** Watchlist schema (FIXTURES.md A.2 subset that the hot path consumes —
+    * P2 projection of watch_dog.py:109-117). */
+  val watchSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("source_name", StringType),
+    StructField("ra", DoubleType),
+    StructField("dec", DoubleType),
+    StructField("patch_type", StringType)))
+
+  private def hdr(m: String, key: String): Column =
+    element_at(col(m), key)
+
+  private def hdrD(m: String, key: String): Column =
+    hdr(m, key).cast(DoubleType)
+
+  private def hdrI(m: String, key: String): Column =
+    hdr(m, key).cast(IntegerType)
+
+  /** Patch side length n from patch_type: "5" → 5, "3x3" → 3
+    * (_utils/Utils.py:40-43). */
+  def patchSize(patchType: Column): Column =
+    when(patchType.contains("x"),
+      split(patchType, "x").getItem(0).cast(IntegerType))
+      .otherwise(patchType.cast(IntegerType))
+
+  /** Header extraction (P1, watch_dog.py:244-272,335-351): typed columns out
+    * of the two FITS header maps, including the derived chan0. Missing keys
+    * fail fast via assert_true, mirroring the reference's KeyError. */
+  def withHeaderFields(images: DataFrame): Column => DataFrame = { idCol =>
+    images
+      .withColumn("img_time",
+        to_timestamp(hdr("img_hdr", "DATETIME"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withColumn("xdim", hdrI("img_hdr", "NAXIS1"))
+      .withColumn("ydim", hdrI("img_hdr", "NAXIS2"))
+      .withColumn("n_chan", hdrI("img_hdr", "NAXIS3"))
+      .withColumn("n_pol", hdrI("img_hdr", "NAXIS4"))
+      .withColumn("ra0", hdrD("img_hdr", "CRVAL1"))
+      .withColumn("dec0", hdrD("img_hdr", "CRVAL2"))
+      .withColumn("crpix1", hdrD("img_hdr", "CRPIX1"))
+      .withColumn("crpix2", hdrD("img_hdr", "CRPIX2"))
+      .withColumn("cdelt1", hdrD("img_hdr", "CDELT1"))
+      .withColumn("cdelt2", hdrD("img_hdr", "CDELT2"))
+      .withColumn("chan0",
+        hdrD("img_hdr", "CRVAL3") -
+          hdrD("img_hdr", "CDELT3") * hdrD("img_hdr", "CRPIX3"))
+      .withColumn("chan_bw", hdrD("img_hdr", "CDELT3"))
+      .withColumn("int_time", hdrD("primary_hdr", "INTTIM"))
+      .withColumn("img_id", idCol)
+  }
+
+  /** Deterministic epoch id: stable across actions and task retries. */
+  def epochId: Column =
+    md5(concat_ws("|", hdr("img_hdr", "DATETIME"),
+      coalesce(hdr("img_hdr", "FILENAME"), lit(""))))
+
+  /** Full pipeline: (pixels, metadata) frames.
+    *
+    * @param images decoded image cubes (imageSchema)
+    * @param watchlist current active watchlist (watchSchema) — small; broadcast
+    * @param elevationLimitDeg FOV elevation cut (30° default,
+    *        uds_server.py:117)
+    * @param epicVersion engine version tag for the metadata rows
+    */
+  def pixelsAndMeta(images: DataFrame, watchlist: DataFrame,
+      elevationLimitDeg: Double = 30.0,
+      epicVersion: String = "graft-0.1"): (DataFrame, DataFrame) = {
+
+    val hdrImages = withHeaderFields(images)(epochId)
+
+    // J1: stream–static broadcast join — every image × every watched source.
+    val joined = hdrImages.crossJoin(
+      broadcast(watchlist.select(
+        col("id").as("src_id"), col("source_name"),
+        col("ra").as("src_ra"), col("dec").as("src_dec"),
+        patchSize(col("patch_type")).as("psize"))))
+
+    // P5+P4: sky → 1-based float pixel → nearest-pix integer (0-based).
+    val maxRad = col("xdim") * 0.5d *
+      lit(math.cos(math.toRadians(elevationLimitDeg)))
+    val located = joined
+      .withColumn("w2p", Wcs.world2pix(col("src_ra"), col("src_dec"),
+        col("ra0"), col("dec0"), col("crpix1"), col("crpix2"),
+        col("cdelt1"), col("cdelt2")))
+      .withColumn("cx", Wcs.nearestPix(col("w2p.x")) - 1d)
+      .withColumn("cy", Wcs.nearestPix(col("w2p.y")) - 1d)
+
+    // P6 pre-explode FOV mask on the patch CENTER (prunes n²× work before
+    // the explode — the placement the reference hand-codes at
+    // watch_dog.py:383-403 and Catalyst keeps because the predicate only
+    // uses pre-explode columns).
+    val centered = located.where(
+      !isnan(col("w2p.x")) && !isnan(col("w2p.y")) &&
+        col("cx") >= 0d && col("cy") >= 0d &&
+        sqrt(pow(col("cx") - col("xdim") / 2d, 2d) +
+          pow(col("cy") - col("ydim") / 2d, 2d)) <= maxRad)
+
+    // G1: patch explode — n×n relative offsets (meshgrid as a nested
+    // transform, exploded once as an array<struct<dx,dy>>).
+    val half = (col("psize") / 2).cast(IntegerType)
+    val offsets = flatten(transform(sequence(-half, half),
+      dx => transform(sequence(-half, half),
+        dy => struct(dx.as("dx"), dy.as("dy")))))
+    val exploded = centered
+      .withColumn("off", explode(offsets))
+      .withColumn("px", col("cx") + col("off.dx"))
+      .withColumn("py", col("cy") + col("off.dy"))
+
+    // P5 inverse + post-explode per-pixel FOV/NaN mask (must stay
+    // post-explode: it decides per PIXEL, watch_dog.py:422-424).
+    val withSky = exploded
+      .withColumn("p2w", Wcs.pix2world(col("px") + 1d, col("py") + 1d,
+        col("ra0"), col("dec0"), col("crpix1"), col("crpix2"),
+        col("cdelt1"), col("cdelt2")))
+      .withColumn("in_fov",
+        (!isnan(col("p2w.ra")) && !isnan(col("p2w.dec")) &&
+          col("px") >= 0d && col("py") >= 0d &&
+          col("px") < col("xdim") && col("py") < col("ydim") &&
+          sqrt(pow(col("px") - col("xdim") / 2d, 2d) +
+            pow(col("py") - col("ydim") / 2d, 2d)) <= maxRad).cast(IntegerType))
+
+    // A1: all-or-nothing patch filter — keep a (image, source) patch only if
+    // EVERY pixel is in FOV (watch_dog.py:426-440), as a window min.
+    val patchW = Window.partitionBy(col("img_id"), col("src_id"))
+    val kept = withSky
+      .withColumn("patch_ok", min(col("in_fov")).over(patchW))
+      .where(col("patch_ok") === 1)
+
+    // J3: strided pixel gather — flat offset into the row-major
+    // [complex, npol, nchan, y, x] cube is (k·ydim + py)·xdim + px for
+    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455). One sequential
+    // pass per pixel over all chan×pol×complex planes.
+    val ipx = col("px").cast(IntegerType)
+    val ipy = col("py").cast(IntegerType)
+    val gathered = kept.withColumn("pixel_values",
+      transform(sequence(lit(0), lit(2) * col("n_pol") * col("n_chan") - 1),
+        k => element_at(col("image"),
+          ((k * col("ydim") + ipy) * col("xdim") + ipx + 1)
+            .cast(IntegerType)).cast(DoubleType)))
+
+    // P7/P8: typed output points; lm from pure arithmetic.
+    val pixels = gathered.select(
+      col("img_id").as("id"),
+      struct(ipx.as("x"), ipy.as("y")).as("pixel_coord"),
+      col("pixel_values"),
+      struct(col("p2w.ra").as("ra"), col("p2w.dec").as("dec"))
+        .as("pixel_skypos"),
+      col("source_name").as("source_names"),
+      struct(Wcs.pixelToLm(col("px"), col("xdim")).as("l"),
+        Wcs.pixelToLm(col("py"), col("ydim")).as("m")).as("pixel_lm"),
+      col("off.dx").as("pix_ofst_x"),
+      col("off.dy").as("pix_ofst_y"))
+
+    // P1+A2: one metadata row per image that produced pixels (store_pg
+    // early-return: no pixels ⇒ no metadata row, watch_dog.py:354-357).
+    val meta = gathered
+      .groupBy(col("img_id").as("id"))
+      .agg(
+        first(col("img_time")).as("img_time"),
+        first(col("n_chan")).as("n_chan"),
+        first(col("n_pol")).as("n_pol"),
+        first(col("chan0")).as("chan0"),
+        first(col("chan_bw")).as("chan_bw"),
+        first(col("xdim")).as("xdim"),
+        first(col("ydim")).as("ydim"),
+        first(col("int_time")).as("int_time"),
+        array_sort(collect_set(col("source_name"))).as("source_names"))
+      .select(col("id"), col("img_time"), col("n_chan"), col("n_pol"),
+        col("chan0"), col("chan_bw"),
+        lit(epicVersion).as("epic_version"),
+        struct(col("xdim").as("x"), col("ydim").as("y")).as("img_size"),
+        col("int_time"), col("source_names"))
+
+    (pixels, meta)
+  }
+
+  /** EWKT / PG-point formatting for the JDBC boundary only (P7,
+    * watch_dog.py:457-477): internal representation stays typed structs. */
+  def toPgStrings(pixels: DataFrame): DataFrame = pixels
+    .withColumn("pixel_coord",
+      format_string("(%d,%d)", col("pixel_coord.x"), col("pixel_coord.y")))
+    .withColumn("pixel_skypos",
+      format_string("SRID=4326;POINT(%s %s)",
+        col("pixel_skypos.ra"), col("pixel_skypos.dec")))
+    .withColumn("pixel_lm",
+      format_string("(%s,%s)", col("pixel_lm.l"), col("pixel_lm.m")))
+}

@@ -1,0 +1,87 @@
+package graft.epic
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Synthetic EPIC image cubes per FIXTURES.md §A.1: 64×64 grid, nchan=4,
+  * npol=2, SIN-projection headers centered at (ra,dec) = (180°, 34°) with
+  * the all-sky direction-cosine scale CDELT = (180/π)/(xdim/2) deg/px.
+  *
+  * Cube values are the exact-in-float pattern
+  * value(k, y, x) = k·100000 + y·xdim + x   (k = plane index over
+  * complex×pol×chan), so gather results are fully predictable.
+  */
+object ImageFixtures {
+
+  val XDim = 64; val YDim = 64; val NChan = 4; val NPol = 2
+  val Ra0 = 180.0; val Dec0 = 34.0
+  /** 1-based reference pixel at image center. */
+  val CrPix = 33.0
+  /** deg/px such that one pixel = 2/xdim in direction cosine. */
+  val CDelt: Double = (180.0 / math.Pi) / (XDim / 2.0)
+
+  def imgHeader(datetime: String, filename: String): Map[String, String] = Map(
+    "CRVAL1" -> Ra0.toString, "CRVAL2" -> Dec0.toString,
+    "CRPIX1" -> CrPix.toString, "CRPIX2" -> CrPix.toString,
+    "CDELT1" -> CDelt.toString, "CDELT2" -> CDelt.toString,
+    "NAXIS1" -> XDim.toString, "NAXIS2" -> YDim.toString,
+    "NAXIS3" -> NChan.toString, "NAXIS4" -> NPol.toString,
+    "CRVAL3" -> "60000000", "CDELT3" -> "25000", "CRPIX3" -> "1",
+    "DATETIME" -> datetime, "FILENAME" -> filename)
+
+  val primaryHeader: Map[String, String] = Map(
+    "GRIDDIMX" -> "64", "GRIDDIMY" -> "64",
+    "DGRIDX" -> "1.0", "DGRIDY" -> "1.0", "INTTIM" -> "0.08")
+
+  def cube(): Array[Float] = {
+    val planes = 2 * NPol * NChan
+    val out = new Array[Float](planes * YDim * XDim)
+    var k = 0
+    while (k < planes) {
+      var y = 0
+      while (y < YDim) {
+        var x = 0
+        while (x < XDim) {
+          out((k * YDim + y) * XDim + x) = (k * 100000 + y * XDim + x).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  def imagesDf(spark: SparkSession, datetimes: Seq[String]): DataFrame = {
+    val rows = datetimes.zipWithIndex.map { case (dt, i) =>
+      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits"),
+        "float32", Seq(2, NPol, NChan, YDim, XDim), cube().toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), EpicPipeline.imageSchema)
+  }
+
+  /** Watchlist: center hit (3x3), offset hit (5x5), a patch straddling the
+    * FOV ring (dropped by group-ALL), and an opposite-hemisphere source
+    * (NaN from the projection, dropped pre-explode).
+    *
+    * Geometry (xdim=64, elev limit 30° ⇒ max_rad = 32·cos30° ≈ 27.71):
+    *  - center  (180,34)            → 0-based (32,32)
+    *  - offset  (183,34)            → (33,32); whole 5×5 patch in FOV
+    *  - ring    (180,-23.55)        → (32,5): center dist 27 < 27.71 passes
+    *    the pre-filter, but patch pixels at py=3 have dist 29 → A1 drops all
+    *  - behind  (0,34)              → cos(c) < 0 ⇒ NaN ⇒ pre-filter drop
+    */
+  def watchRows: Seq[(Long, String, Double, Double, String)] = Seq(
+    (1L, "center", 180.0, 34.0, "3x3"),
+    (2L, "offset", 183.0, 34.0, "5"),
+    (3L, "ring", 180.0, Dec0 - 57.55, "5"),
+    (4L, "behind", 0.0, 34.0, "3x3"))
+
+  def watchlistDf(spark: SparkSession): DataFrame = {
+    val rows = watchRows.map { case (id, n, ra, dec, p) =>
+      Row(id, n, ra, dec, p)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), EpicPipeline.watchSchema)
+  }
+}
