@@ -1,0 +1,60 @@
+package graft.epic
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming wrapper around the batch pipeline (SURVEY §3.1's
+  * Spark shape): readStream → foreachBatch { refresh watchlist; run
+  * pixelsAndMeta; append both sinks }.
+  *
+  * Semantics mapped from the reference:
+  *  - M3 watchlist freshness: the 5 s APScheduler re-read becomes a
+  *    re-resolve per micro-batch — a watch added mid-stream joins from the
+  *    next batch on;
+  *  - M2 expiry: expireDue() runs at the head of every batch, so an expired
+  *    watch stops producing rows in the same batch it flips to 'watched';
+  *  - S6 buffered bulk insert: the 5 s timed window is the micro-batch
+  *    trigger itself; each batch writes once per sink (parquet here; swap
+  *    the two appends for JDBC writers with batchsize/retry in production —
+  *    service_hub.py:49-64 semantics live in the sink, not the plan);
+  *  - S5 dual append: pixels + metadata written from one cached batch so
+  *    the image scan and the join run once, not twice.
+  */
+object EpicStreaming {
+
+  /** Start the ingest query. `images` must be a *streaming* DataFrame with
+    * EpicPipeline.imageSchema columns. */
+  def start(images: DataFrame, store: WatchStore, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      elevationLimitDeg: Double = 30.0): StreamingQuery = {
+    images.writeStream
+      .queryName("epic-ingest")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, store, outDir, elevationLimitDeg)
+      }
+      .start()
+  }
+
+  /** One micro-batch: expiry tick, watchlist snapshot, pipeline, dual
+    * append. Exposed for deterministic replay tests (Trigger.AvailableNow
+    * equivalence, SURVEY §5.3). */
+  def processBatch(batch: DataFrame, store: WatchStore, outDir: String,
+      elevationLimitDeg: Double = 30.0,
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): Unit = {
+    val t = now()
+    store.expireDue(t)                       // M2
+    val watch = store.watchlist(t)           // M3: fresh every batch
+    val cached = batch.persist()
+    try {
+      val (pixels, meta) =
+        EpicPipeline.pixelsAndMeta(cached, watch, elevationLimitDeg)
+      pixels.write.mode("append").parquet(s"$outDir/epic_pixels")
+      meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
+    } finally cached.unpersist()
+  }
+}

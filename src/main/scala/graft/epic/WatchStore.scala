@@ -1,0 +1,135 @@
+package graft.epic
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CoordParse
+
+/** Watchlist state machine — the engine-side replacement for the reference's
+  * `epic_watchdog` PostgreSQL table + WatchDog service
+  * (epic_services/watch_dog.py:52-219, epic_orm/pg_pixel_storage.py:56-74).
+  *
+  * State lives in a parquet table (swap for JDBC in production — the API is
+  * the same). Mutations are read→transform→atomic-rename writes; the store
+  * is a driver-side control-plane object, deliberately NOT a distributed
+  * dataset: the watchlist is small (it broadcasts into the hot path).
+  *
+  * Reference bugs intentionally fixed (SURVEY §7.3):
+  *  - required-parameter validation actually validates (server.py:59-62's
+  *    `par not in req_pars` no-op);
+  *  - continuous mode always forces t_end = t_start + 99·365.25 d
+  *    (watch_dog.py:63-64 only did so when the caller supplied t_end);
+  *  - duplicate-watch guard raises on an existing *watching* source
+  *    (watch_dog.py:160-168).
+  */
+class WatchStore(spark: SparkSession, path: String) {
+
+  import WatchStore._
+
+  /** All rows regardless of status. */
+  def listAll(): DataFrame =
+    try spark.read.schema(schema).parquet(path)
+    catch { case _: Exception => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema) }
+
+  /** S7+P3: the active watchlist — status 'watching' and inside the
+    * temporal validity window, projected to the hot-path columns. */
+  def watchlist(now: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame =
+    listAll()
+      .where(col("watch_status") === "watching" &&
+        col("t_start") < lit(now) && col("t_end") > lit(now))
+      .select(col("id"), col("source_name"), col("ra"), col("dec"),
+        col("patch_type"))
+
+  /** M1+J2: insert-returning with duplicate guard. RA/Dec accept decimal
+    * degrees or sexagesimal strings (P10). Duration is human-readable
+    * (P11); continuous mode pins t_end to t_start + 99 y. */
+  def addWatch(sourceName: String, ra: String, dec: String,
+      author: String = "batman",
+      reason: String = "Detection of a transient with EPIC",
+      watchMode: String = "continuous",
+      patchType: String = "3x3",
+      duration: String = "7d",
+      eventType: String = "Manual trigger",
+      voevent: String = "",
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    require(sourceName != null && sourceName.nonEmpty, "source_name required")
+    require(Set("continuous", "timed").contains(watchMode),
+      s"bad watch_mode: $watchMode")
+    val raDeg = CoordParse.parseCoord(ra, hourAngle = true)
+    val decDeg = CoordParse.parseCoord(dec, hourAngle = false)
+    require(raDeg >= 0 && raDeg < 360, s"ra out of range: $raDeg")
+    require(decDeg >= -90 && decDeg <= 90, s"dec out of range: $decDeg")
+
+    val existing = listAll().cache()
+    try {
+      val dup = existing.where(col("source_name") === sourceName &&
+        col("watch_status") === "watching").limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        s"source '$sourceName' is already being watched")
+      val nextId = existing.agg(coalesce(max(col("id")), lit(0L)))
+        .head().getLong(0) + 1
+      val tEndMicros = watchMode match {
+        case "continuous" => // 99 years, watch_dog.py:63-64 evident intent
+          now.getTime * 1000L + (99L * 365.25 * 86400000000L).toLong
+        case "timed" =>
+          now.getTime * 1000L + CoordParse.durationToMicros(duration)
+      }
+      val row = Row(nextId, sourceName, raDeg, decDeg, author, now, now,
+        new Timestamp(tEndMicros / 1000L), reason, watchMode, patchType,
+        eventType, "watching", voevent)
+      val added = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      write(existing.unionByName(added))
+      nextId
+    } finally existing.unpersist()
+  }
+
+  /** M2: flip expired watches (t_end ≤ now, still 'watching') to 'watched';
+    * returns how many flipped. The reference runs this on a 5 s scheduler
+    * (M3); the streaming runner calls it once per micro-batch instead. */
+  def expireDue(now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    val all = listAll().cache()
+    try {
+      val due = all.where(col("watch_status") === "watching" &&
+        col("t_end") <= lit(now)).count()
+      if (due > 0) write(all.withColumn("watch_status",
+        when(col("watch_status") === "watching" && col("t_end") <= lit(now),
+          lit("watched")).otherwise(col("watch_status"))))
+      due
+    } finally all.unpersist()
+  }
+
+  private def write(df: DataFrame): Unit = {
+    val tmp = path + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
+
+object WatchStore {
+  /** epic_watchdog schema (sql_scripts/create_pixel_tables.sql:36-51),
+    * voevent kept as opaque XML text (SURVEY §1.2). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("source_name", StringType, nullable = false),
+    StructField("ra", DoubleType, nullable = false),
+    StructField("dec", DoubleType, nullable = false),
+    StructField("author", StringType),
+    StructField("event_time", TimestampType),
+    StructField("t_start", TimestampType),
+    StructField("t_end", TimestampType),
+    StructField("reason", StringType),
+    StructField("watch_mode", StringType),
+    StructField("patch_type", StringType),
+    StructField("event_type", StringType),
+    StructField("watch_status", StringType),
+    StructField("voevent", StringType)))
+}
