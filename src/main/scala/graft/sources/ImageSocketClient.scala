@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.{Channels, SocketChannel}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Producer-side framing (S4 — the analog of the reference's
+  * uds_client.py:45-98 / client.py:66-84 chunking client): serializes one
+  * image record and streams it through the two-phase handshake in
+  * `chunkSize` writes (reference default 2^16, tuned 819200). */
+object ImageSocketClient {
+
+  private val mapper = new ObjectMapper()
+
+  /** Build the wire payload: 4-byte BE header length · JSON triplet ·
+    * float32 LE cube. */
+  def encode(primaryHdr: Map[String, String], imgHdr: Map[String, String],
+      shape: Seq[Int], image: Array[Float]): Array[Byte] = {
+    val arr = mapper.createArrayNode()
+    def obj(m: Map[String, String]) = {
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, v) => o.put(k, v) }
+      o
+    }
+    arr.add(obj(primaryHdr))
+    arr.add(obj(imgHdr))
+    val meta = mapper.createObjectNode()
+    meta.put("dtype", "float32")
+    val shapeArr = mapper.createArrayNode()
+    shape.foreach(shapeArr.add)
+    meta.set[com.fasterxml.jackson.databind.JsonNode]("shape", shapeArr)
+    arr.add(meta)
+    val header = mapper.writeValueAsBytes(arr)
+
+    val out = ByteBuffer.allocate(4 + header.length + image.length * 4)
+    out.putInt(header.length)
+    out.put(header)
+    val fb = out.slice().order(ByteOrder.LITTLE_ENDIAN)
+    image.foreach(fb.putFloat)
+    out.array()
+  }
+
+  /** Handshake + chunked send of one frame over UDS. */
+  def sendUds(socketPath: String, payload: Array[Byte],
+      chunkSize: Int = 65536): Unit = {
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(socketPath))
+    try send(ch, payload, chunkSize) finally ch.close()
+  }
+
+  /** Handshake + chunked send of one frame over TCP. */
+  def sendTcp(host: String, port: Int, payload: Array[Byte],
+      chunkSize: Int = 65536): Unit = {
+    val ch = SocketChannel.open(new InetSocketAddress(host, port))
+    try send(ch, payload, chunkSize) finally ch.close()
+  }
+
+  private def send(ch: SocketChannel, payload: Array[Byte],
+      chunkSize: Int): Unit = {
+    val out = new DataOutputStream(Channels.newOutputStream(ch))
+    val in = new DataInputStream(Channels.newInputStream(ch))
+    out.write(s"""["epic_image", ${payload.length}]"""
+      .getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    val reply = new Array[Byte](16)
+    val n = in.read(reply)
+    val r = new String(reply, 0, math.max(n, 0), StandardCharsets.UTF_8)
+    require(r == "proceed", s"handshake rejected: '$r'")
+    var off = 0
+    while (off < payload.length) {
+      val len = math.min(chunkSize, payload.length - off)
+      out.write(payload, off, len)
+      off += len
+    }
+    out.flush()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.epic.ImageFixtures
+
+/** End-to-end test of the custom MicroBatchStream: a client thread streams
+  * framed image cubes over a Unix socket; the streaming query decodes them
+  * and runs a header projection. */
+class ImageSocketSourceSpec extends SparkSpec {
+
+  private def frame(dt: String): Array[Byte] =
+    ImageSocketClient.encode(
+      ImageFixtures.primaryHeader,
+      ImageFixtures.imgHeader(dt, s"EPIC_$dt.fits"),
+      Seq(2, ImageFixtures.NPol, ImageFixtures.NChan,
+        ImageFixtures.YDim, ImageFixtures.XDim),
+      ImageFixtures.cube())
+
+  test("frames stream through handshake, decode, and a downstream plan") {
+    val sock = Files.createTempDirectory("epicsock").toString + "/epic.sock"
+    val out = Files.createTempDirectory("epicout").toString
+
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).load()
+    val q = images
+      .select(element_at(col("img_hdr"), "DATETIME").as("dt"),
+        col("dtype"), size(col("image")).as("n"),
+        col("shape"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    // wait for the server socket, then stream 3 frames from a client thread
+    Thread.sleep(500)
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:11.000000"),
+      chunkSize = 819200) // the reference's tuned chunk size
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:12.000000"))
+
+    val deadline = System.currentTimeMillis() + 30000
+    def rows(): Long =
+      try spark.read.parquet(s"$out/rows").count()
+      catch { case _: Exception => 0L }
+    while (rows() < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+
+    val got = spark.read.parquet(s"$out/rows")
+    assert(got.count() == 3)
+    val r = got.orderBy("dt").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq(
+      "2022-08-31T23:29:10.000000", "2022-08-31T23:29:11.000000",
+      "2022-08-31T23:29:12.000000"))
+    assert(r.forall(_.getString(1) == "float32"))
+    assert(r.forall(_.getInt(2) == 2 * 2 * 4 * 64 * 64))
+  }
+
+  test("integrity check rejects a frame whose size != prod(shape)") {
+    val bad = ImageSocketClient.encode(
+      ImageFixtures.primaryHeader,
+      ImageFixtures.imgHeader("2022-08-31T23:29:10.000000", "f.fits"),
+      Seq(2, 2, 4, 64, 64),
+      new Array[Float](100)) // truncated cube
+    val e = intercept[IllegalArgumentException] {
+      ImageFrameDecoder.decode(bad)
+    }
+    assert(e.getMessage.contains("integrity check failed"))
+  }
+}
