@@ -174,15 +174,16 @@ object EpicPipeline {
 
     // J3: strided pixel gather — flat offset into the row-major
     // [complex, npol, nchan, y, x] cube is (k·ydim + py)·xdim + px for
-    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455). One sequential
-    // pass per pixel over all chan×pol×complex planes.
+    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455). Custom codegen
+    // expression: one tight loop per pixel over all chan×pol×complex
+    // planes (see graft.plans.StridedGather for why not transform/
+    // element_at).
     val ipx = col("px").cast(IntegerType)
     val ipy = col("py").cast(IntegerType)
     val gathered = kept.withColumn("pixel_values",
-      transform(sequence(lit(0), lit(2) * col("n_pol") * col("n_chan") - 1),
-        k => element_at(col("image"),
-          ((k * col("ydim") + ipy) * col("xdim") + ipx + 1)
-            .cast(IntegerType)).cast(DoubleType)))
+      graft.plans.StridedGather(col("image"),
+        (lit(2) * col("n_pol") * col("n_chan")).cast(IntegerType),
+        ipy, ipx, col("ydim"), col("xdim")))
 
     // P7/P8: typed output points; lm from pure arithmetic.
     val pixels = gathered.select(

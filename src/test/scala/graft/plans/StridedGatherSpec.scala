@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Floor, Least, Literal, Subtract, Add}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.SparkSpec
+
+class StridedGatherSpec extends SparkSpec {
+
+  test("gather equals the transform/element_at reference form") {
+    import spark.implicits._
+    // 3 planes of a 4x5 grid, values = k*100 + y*5 + x
+    val img = (for { k <- 0 until 3; y <- 0 until 4; x <- 0 until 5 }
+      yield (k * 100 + y * 5 + x).toFloat)
+    val df = Seq((img, 2, 3)).toDF("image", "y", "x")
+    val custom = df.select(StridedGather(col("image"), lit(3),
+      col("y"), col("x"), lit(4), lit(5)).as("v")).as[Seq[Double]].head()
+    val hof = df.select(transform(sequence(lit(0), lit(2)),
+      k => element_at(col("image"),
+        ((k * 4 + col("y")) * 5 + col("x") + 1).cast(IntegerType))
+        .cast(DoubleType)).as("v")).as[Seq[Double]].head()
+    assert(custom == hof)
+    assert(custom == Seq(13.0, 113.0, 213.0))
+  }
+
+  test("null inputs propagate to a null result") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f), Option.empty[Int])).toDF("image", "y")
+    val got = df.select(StridedGather(col("image"), lit(1), col("y"),
+      lit(0), lit(1), lit(2)).as("v")).collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("codegen path survives whole-stage compilation on a larger frame") {
+    import spark.implicits._
+    val img = (0 until 2 * 3 * 4).map(_.toFloat)
+    val rows = (0 until 1000).map(i => (img, i % 3, i % 4))
+    val sum = rows.toDF("image", "y", "x")
+      .select(StridedGather(col("image"), lit(2), col("y"), col("x"),
+        lit(3), lit(4)).as("v"))
+      .select(aggregate(col("v"), lit(0.0d), (a, b) => a + b).as("s"))
+      .agg(org.apache.spark.sql.functions.sum("s")).as[Double].head()
+    assert(sum > 0)
+  }
+
+  test("functions resolve in SQL once registered (extensions builders)") {
+    // GraftExtensions wires these same builders via injectFunction at
+    // session build; here we register them into the live session's registry
+    // (a session already exists JVM-wide, so withExtensions can't apply).
+    new GraftExtensions().apply(new SparkSessionExtensions) // wiring sanity
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("strided_gather"),
+      new ExpressionInfo(classOf[StridedGather].getName, "strided_gather"),
+      (args: Seq[Expression]) =>
+        StridedGather(args(0), args(1), args(2), args(3), args(4), args(5)))
+    reg.registerFunction(
+      new FunctionIdentifier("nearest_pix"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "nearest_pix"),
+      (args: Seq[Expression]) => {
+        val p = args.head
+        Floor(Add(p, Least(Seq(Subtract(p, Floor(p)), Literal(0.5d)))))
+      })
+    val viaSql = spark.sql(
+      "SELECT strided_gather(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)," +
+        " CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 2, 0, 1, 1, 2)")
+      .collect().head.getSeq[Double](0).toSeq
+    assert(viaSql == Seq(2.0, 4.0))
+    assert(spark.sql("SELECT nearest_pix(CAST(33.5 AS DOUBLE))").collect()
+      .head.getAs[Number](0).doubleValue() == 34.0)
+    assert(spark.sql("SELECT nearest_pix(CAST(-0.5 AS DOUBLE))").collect()
+      .head.getAs[Number](0).doubleValue() == 0.0)
+  }
+}
