@@ -108,18 +108,36 @@ object EpicPipeline {
     *        uds_server.py:117)
     * @param epicVersion engine version tag for the metadata rows
     */
+  /** P9: sources named after solar-system bodies get their (ra, dec)
+    * replaced by the ephemeris position at the image timestamp
+    * (watch_dog.py:500-509). Deterministic scalar UDF — runs on the tiny
+    * image×watch frame, never on exploded pixels. */
+  case class EphPos(ra: Double, dec: Double)
+  private val ephemerisUdf = udf((name: String, t: java.sql.Timestamp) =>
+    Ephemeris.position(name, t).map(p => EphPos(p._1, p._2)))
+
+  def resolveBodies(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("eph",
+        ephemerisUdf(lower(col("source_name")), col("img_time")))
+      .withColumn("src_ra", coalesce(col("eph.ra"), col("src_ra")))
+      .withColumn("src_dec", coalesce(col("eph.dec"), col("src_dec")))
+      .drop("eph")
+
   def pixelsAndMeta(images: DataFrame, watchlist: DataFrame,
       elevationLimitDeg: Double = 30.0,
-      epicVersion: String = "graft-0.1"): (DataFrame, DataFrame) = {
+      epicVersion: String = "graft-0.1",
+      ephemeris: Boolean = true): (DataFrame, DataFrame) = {
 
     val hdrImages = withHeaderFields(images)(epochId)
 
     // J1: stream–static broadcast join — every image × every watched source.
-    val joined = hdrImages.crossJoin(
+    val joined0 = hdrImages.crossJoin(
       broadcast(watchlist.select(
         col("id").as("src_id"), col("source_name"),
         col("ra").as("src_ra"), col("dec").as("src_dec"),
         patchSize(col("patch_type")).as("psize"))))
+    val joined = if (ephemeris) resolveBodies(joined0) else joined0
 
     // P5+P4: sky → 1-based float pixel → nearest-pix integer (0-based).
     val maxRad = col("xdim") * 0.5d *
