@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column operators for training-data
+  * pipelines: payloads are opaque `binary` columns + a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run batch-wise
+  * over partitions (`mapPartitions` on a typed Dataset — the JVM analog of
+  * `mapInPandas`: one iterator per partition, vectorizable batch shape, no
+  * per-row UDF dispatch).
+  *
+  * DECODE IS A DETERMINISTIC FAKE (this container ships no image/audio
+  * codecs): `FakeCodec` synthesizes pixels/samples from a rolling hash of
+  * the payload. Everything around it — schemas, the partition-iterator
+  * plumbing, resize arithmetic, feature math, frame explode — is real and
+  * tested; swapping `FakeCodec.decode*` for javax.imageio / ffmpeg bindings
+  * changes no plan shape.
+  *
+  * Scale notes: decode is the expensive narrow stage — `decoded(df, n)`
+  * repartitions by media_id first so a 100 TB corpus decodes
+  * embarrassingly parallel with no skew from source file layout, and the
+  * binary column never shuffles after decode (features/resize fuse into
+  * the same stage).
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),   // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      format: String, width: Int, height: Int, sample_rate: Int,
+      n_frames: Int)
+
+  case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, pixels: Array[Float])
+
+  case class MediaFeatures(media_id: Long, n_bytes: Int, width: Int,
+      height: Int, px_mean: Double, px_std: Double, px_min: Double,
+      px_max: Double)
+
+  /** DETERMINISTIC FAKE CODEC — stands in for imageio/ffmpeg. Pixel (i) of
+    * a (w×h) frame is hash(payload, frameIdx, i) scaled to [0,1). The same
+    * payload always decodes to the same pixels, on any partitioning. */
+  object FakeCodec {
+    private def mix(seed: Long, v: Long): Long = {
+      var h = seed ^ (v * 0x9e3779b97f4a7c15L)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    }
+
+    def payloadSeed(payload: Array[Byte]): Long = {
+      var h = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < payload.length) { h = mix(h, payload(i) & 0xffL); i += 1 }
+      h
+    }
+
+    /** decode one frame: ??? in a real build this calls the codec. */
+    def decodeFrame(payload: Array[Byte], frameIdx: Int,
+        w: Int, h: Int): Array[Float] = {
+      val seed = mix(payloadSeed(payload), frameIdx.toLong)
+      val out = new Array[Float](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((mix(seed, i.toLong) >>> 11).toDouble / (1L << 53))
+          .toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode stage: repartition by media_id (decode parallelism independent
+    * of file layout), then one batch-iterator pass per partition. */
+  def decoded(media: DataFrame, partitions: Int = 0): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.format").as("format"),
+      coalesce(col("meta.width"), lit(16)).as("width"),
+      coalesce(col("meta.height"), lit(16)).as("height"),
+      coalesce(col("meta.sample_rate"), lit(0)).as("sample_rate"),
+      coalesce(col("meta.n_frames"), lit(1)).as("n_frames"))
+      .as[MediaRow]
+    val repart = if (partitions > 0)
+      rows.repartition(partitions, col("media_id")) else rows
+    repart.mapPartitions { batch =>
+      batch.map { m =>
+        DecodedFrame(m.media_id, 0, m.width, m.height,
+          FakeCodec.decodeFrame(m.payload, 0, m.width, m.height))
+      }
+    }
+  }
+
+  /** Video frame sampling: every n-th frame of each asset, decoded —
+    * explode on the driver plan, decode in the partition iterator. */
+  def sampledFrames(media: DataFrame, everyN: Int): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.where(col("kind") === "video")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("meta.format").as("format"),
+        coalesce(col("meta.width"), lit(16)).as("width"),
+        coalesce(col("meta.height"), lit(16)).as("height"),
+        coalesce(col("meta.sample_rate"), lit(0)).as("sample_rate"),
+        coalesce(col("meta.n_frames"), lit(1)).as("n_frames"))
+      .as[MediaRow]
+    rows.mapPartitions { batch =>
+      batch.flatMap { m =>
+        (0 until m.n_frames by math.max(everyN, 1)).iterator.map { fi =>
+          DecodedFrame(m.media_id, fi, m.width, m.height,
+            FakeCodec.decodeFrame(m.payload, fi, m.width, m.height))
+        }
+      }
+    }
+  }
+
+  /** Area-average resize of decoded frames to (tw × th) — real arithmetic
+    * over the (fake-)decoded pixels. */
+  def resized(frames: Dataset[DecodedFrame], tw: Int, th: Int): Dataset[DecodedFrame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { batch =>
+      batch.map { f =>
+        val out = new Array[Float](tw * th)
+        var ty = 0
+        while (ty < th) {
+          val y0 = ty * f.height / th
+          val y1 = math.max(y0 + 1, (ty + 1) * f.height / th)
+          var tx = 0
+          while (tx < tw) {
+            val x0 = tx * f.width / tw
+            val x1 = math.max(x0 + 1, (tx + 1) * f.width / tw)
+            var s = 0.0; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += f.pixels(y * f.width + x); n += 1; x += 1 }
+              y += 1
+            }
+            out(ty * tw + tx) = (s / n).toFloat
+            tx += 1
+          }
+          ty += 1
+        }
+        DecodedFrame(f.media_id, f.frame_idx, tw, th, out)
+      }
+    }
+  }
+
+  /** Per-asset features over the decoded frame (mean/std/min/max). */
+  def features(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.format").as("format"),
+      coalesce(col("meta.width"), lit(16)).as("width"),
+      coalesce(col("meta.height"), lit(16)).as("height"),
+      coalesce(col("meta.sample_rate"), lit(0)).as("sample_rate"),
+      coalesce(col("meta.n_frames"), lit(1)).as("n_frames"))
+      .as[MediaRow]
+    rows.mapPartitions { batch =>
+      batch.map { m =>
+        val px = FakeCodec.decodeFrame(m.payload, 0, m.width, m.height)
+        var s = 0.0; var s2 = 0.0
+        var mn = Double.MaxValue; var mx = Double.MinValue
+        var i = 0
+        while (i < px.length) {
+          val v = px(i).toDouble
+          s += v; s2 += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val mean = s / px.length
+        MediaFeatures(m.media_id, m.payload.length, m.width, m.height,
+          mean, math.sqrt(math.max(0, s2 / px.length - mean * mean)), mn, mx)
+      }
+    }
+  }
+
+  /** Build a media table from the documents fixture (text bytes as payload
+    * — the pattern a real corpus uses with actual image/audio bytes). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(lit("fake").as("format"),
+        (col("n_chars") % 24 + 8).cast(IntegerType).as("width"),
+        (col("n_chars") % 16 + 8).cast(IntegerType).as("height"),
+        lit(16000).as("sample_rate"),
+        (col("doc_id") % 7 + 1).cast(IntegerType).as("n_frames"))
+        .as("meta"))
+}

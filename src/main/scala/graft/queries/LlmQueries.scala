@@ -262,6 +262,23 @@ object LlmQueries {
       (length(col("text").cast("binary")) % 48 + 1).as("fake_h"))
       .orderBy(col("doc_id"))
 
+  /** M02: batch decode + per-asset features through the mapPartitions
+    * plumbing (deterministic fake codec → no SQL oracle; the driver's
+    * rows-only check applies; MultimodalSpec pins the numerics). */
+  def m02MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.features(
+      graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir)))
+      .toDF().orderBy(col("media_id"))
+
+  /** M03: video frame sampling (every 2nd frame) — per-asset sampled-frame
+    * counts are pure arithmetic on the metadata, so this one IS oracled. */
+  def m03FrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampledFrames(
+      graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir)),
+      everyN = 2)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_sampled"))
+      .orderBy(col("media_id"))
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,6 +295,8 @@ object LlmQueries {
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
+    "m02_media_features" -> (m02MediaFeatures _),
+    "m03_media_frame_sample" -> (m03FrameSample _),
   )
 
   // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
@@ -450,5 +469,9 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_w,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_media_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(((doc_id % 7 + 1) + 1) // 2 AS BIGINT) AS n_frames_sampled
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
   )
 }
