@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.epic.{EpicStreaming, WatchStore}
+import graft.functions.ArrayElementSum
+
+/** User-facing engine facade — the Spark-native surface for the reference's
+  * control-plane RPCs (C1/C2, server.py:54-72; uds_server.py:122-137) and
+  * the ingest lifecycle. One instance per watch-store.
+  *
+  * C3 (`run_epic` process manager, uds_server.py:139-194) is deliberately
+  * out of engine scope: launching imager processes with NUMA pinning is the
+  * cluster manager's job; the engine starts where bytes reach the socket.
+  */
+class GraftEngine(val spark: SparkSession, watchStorePath: String) {
+
+  val store = new WatchStore(spark, watchStorePath)
+
+  /** C1: register a watch (validated; duplicate-guarded). Returns id. */
+  def addWatch(sourceName: String, ra: String, dec: String,
+      author: String = "batman", watchMode: String = "continuous",
+      patchType: String = "3x3", duration: String = "7d"): Long =
+    store.addWatch(sourceName, ra, dec, author = author,
+      watchMode = watchMode, patchType = patchType, duration = duration)
+
+  /** C2: the current active watchlist. */
+  def watchlist(): DataFrame = store.watchlist()
+
+  /** C2: fetch_watchlist RPC shape — JSON lines. */
+  def watchlistJson(): Seq[String] =
+    watchlist().toJSON.collect().toSeq
+
+  /** Start streaming ingest from the epic-socket source (S1/S3 → §3.1). */
+  def startSocketIngest(socketPath: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      transientHook: DataFrame => DataFrame = identity): StreamingQuery = {
+    val images = spark.readStream.format("epic-socket")
+      .option("path", socketPath).load()
+    EpicStreaming.start(images, store, outDir, checkpointDir, trigger,
+      transientHook = transientHook)
+  }
+
+  /** Post-hoc light curves — the engine-side replacement for the PG
+    * `array_element_sum` aggregate over stored pixels
+    * (sql_scripts/functions.sql:24-28): element-wise sums of the
+    * [complex × pol × chan] vectors per source and pixel, one row per
+    * (source, pixel) over a time range. */
+  def lightCurves(pixelsDir: String, metaDir: String): DataFrame = {
+    val pixels = spark.read.parquet(pixelsDir)
+    val meta = spark.read.parquet(metaDir)
+    pixels.join(meta.select(col("id"), col("img_time")), "id")
+      .groupBy(col("source_names").as("source_name"),
+        col("pixel_coord"))
+      .agg(count(lit(1)).as("n_epochs"),
+        min(col("img_time")).as("t_min"),
+        max(col("img_time")).as("t_max"),
+        ArrayElementSum.column(col("pixel_values")).as("summed_values"))
+  }
+}
+
+/** C4: thin CLI over the facade (the reference's `epic-stream-processor
+  * watch` / `start` commands, __main__.py:22-231). */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val opts = args.drop(1).sliding(2, 2)
+      .collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }
+      .toMap
+    val engine = new GraftEngine(spark,
+      opts.getOrElse("watch-store", "/tmp/graft_watchstore"))
+    args.headOption match {
+      case Some("watch") =>
+        val id = engine.addWatch(
+          opts("name"), opts("ra"), opts("dec"),
+          author = opts.getOrElse("author", "batman"),
+          watchMode = opts.getOrElse("mode", "continuous"),
+          patchType = opts.getOrElse("patch", "3x3"),
+          duration = opts.getOrElse("duration", "7d"))
+        println(s"added watch id=$id")
+      case Some("watchlist") =>
+        engine.watchlistJson().foreach(println)
+      case Some("serve") =>
+        val q = engine.startSocketIngest(
+          opts.getOrElse("socket", "/tmp/epic_image.sock"),
+          opts.getOrElse("out", "/tmp/graft_out"),
+          opts.getOrElse("checkpoint", "/tmp/graft_ckpt"))
+        println(s"ingest started on ${opts.getOrElse("socket",
+          "/tmp/epic_image.sock")}; ctrl-c to stop")
+        q.awaitTermination()
+      case other =>
+        System.err.println(
+          s"""usage: graft.Cli <command> [--opt value ...]
+             |  watch     --name N --ra R --dec D [--mode continuous|timed]
+             |            [--patch 3x3|5] [--duration 7d] [--author A]
+             |  watchlist
+             |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
+             |(got: ${other.getOrElse("nothing")})""".stripMargin)
+        if (other.isDefined) sys.exit(2)
+    }
+    if (args.headOption.exists(_ != "serve")) spark.stop()
+  }
+}

@@ -29,13 +29,15 @@ object EpicStreaming {
   def start(images: DataFrame, store: WatchStore, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      elevationLimitDeg: Double = 30.0): StreamingQuery = {
+      elevationLimitDeg: Double = 30.0,
+      transientHook: DataFrame => DataFrame = identity): StreamingQuery = {
     images.writeStream
       .queryName("epic-ingest")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, store, outDir, elevationLimitDeg)
+        processBatch(batch, store, outDir, elevationLimitDeg,
+          transientHook = transientHook)
       }
       .start()
   }
@@ -45,7 +47,8 @@ object EpicStreaming {
     * equivalence, SURVEY §5.3). */
   def processBatch(batch: DataFrame, store: WatchStore, outDir: String,
       elevationLimitDeg: Double = 30.0,
-      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): Unit = {
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+      transientHook: DataFrame => DataFrame = identity): Unit = {
     val t = now()
     store.expireDue(t)                       // M2
     val watch = store.watchlist(t)           // M3: fresh every batch
@@ -53,7 +56,11 @@ object EpicStreaming {
     try {
       val (pixels, meta) =
         EpicPipeline.pixelsAndMeta(cached, watch, elevationLimitDeg)
-      pixels.write.mode("append").parquet(s"$outDir/epic_pixels")
+      // A5: detect_transient extension point (service_hub.py:73-75 — an
+      // identity map stage between ingest and store, reserved for matched
+      // filters / z-score detectors over the pixel stream).
+      transientHook(pixels).write.mode("append")
+        .parquet(s"$outDir/epic_pixels")
       meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
     } finally cached.unpersist()
   }
