@@ -179,10 +179,15 @@ object LlmQueries {
     * corpus's near-dup band; see BASELINE notes). Brute-force pair join at
     * test scale; S02's LSH bucketing is the 100 TB path. */
   def d05EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    // norms hoisted out of the O(n²) pair join: computed once per vector,
+    // sqrt(na)*sqrt(nb) association identical to cosine() so values (and
+    // the oracle hash) don't move.
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(cosine(col("x.v"), col("y.v")), 6).as("sim"))
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6)
+          .as("sim"))
       .where(col("sim") >= 0.45d)
       .orderBy(col("a"), col("b"))
   }
@@ -193,11 +198,13 @@ object LlmQueries {
     * vec_id < 10. The baseline the ANN variants are measured against. */
   def s01AnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("q"), col("v").as("qv"))
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = q.join(e, col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("nb"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("nb"))
     scored.select(col("q"), col("nb"), col("sim"),
@@ -215,13 +222,15 @@ object LlmQueries {
     val e = emb(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), 4))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q"), col("v").as("qv"),
-        col("bucket").as("qb"))
+        col("bucket").as("qb"), col("nrm").as("qn"))
     val scored = q.join(e,
         col("bucket") === col("qb") && col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id").as("nb"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("nb"))
     scored.select(col("q"), col("nb"), col("sim"),
