@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.epic.{EpicPipeline, ImageFixtures}
+
+/** Driver-run benchmark: every SparkEntry query timed at
+  * SPARK_GRAFT_SF_DIR, plus EPIC streaming-pipeline throughput on
+  * reference-shaped cubes (22 chan × 2 pol × 64², ~1.4 MB float32 — the
+  * shape behind BASELINE.md's derived ~10.4 images/s/instance). Prints one
+  * JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +21,51 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // session/codegen warmup so the first timed query isn't charged for it
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "lineitem").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // EPIC ingest throughput: one micro-batch of reference-shaped cubes
+    // (22 chan ≈ 1.4 MB float32 each) parquet→pipeline→dual parquet sink,
+    // i.e. exactly what EpicStreaming.processBatch does per trigger.
+    val nImages = 256
+    val dts = (0 until nImages).map(i =>
+      f"2022-08-31T23:29:${10 + i % 40}%02d.${i}%06d")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    // binary-blob cube layout: parquet reads one blob per image instead of
+    // assembling 360k array elements (see EpicPipeline.imageBinarySchema)
+    ImageFixtures.imagesBinaryDf(spark, dts, nChan = 22,
+      numPartitions = cpus.toInt).write.parquet(s"$tmp/images")
+    val images = spark.read.parquet(s"$tmp/images")
+    val watch = ImageFixtures.watchlistDf(spark)
+    // untimed warm-up batch: pays one-time codegen compilation like the
+    // first micro-batch of a streaming query; steady state is what we rate
+    val (wpx, wmeta) = EpicPipeline.pixelsAndMeta(images, watch)
+    wpx.write.parquet(s"$tmp/warm_px")
+    wmeta.write.parquet(s"$tmp/warm_meta")
+    val t0 = System.nanoTime()
+    val (px, meta) = EpicPipeline.pixelsAndMeta(images, watch)
+    px.write.parquet(s"$tmp/epic_pixels")
+    meta.write.parquet(s"$tmp/epic_img_metadata")
+    val pipeSec = (System.nanoTime() - t0) / 1e9
+    val imagesPerSec = nImages / pipeSec
+    val nPx = spark.read.parquet(s"$tmp/epic_pixels").count()
+    require(nPx > 0 &&
+      spark.read.parquet(s"$tmp/epic_img_metadata").count() == nImages)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""images_per_sec":$imagesPerSec,"pipeline_images":$nImages,""" +
+      s""""pipeline_pixel_rows":$nPx,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.epic
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,6 +42,18 @@ object EpicPipeline {
     StructField("dtype", StringType),
     StructField("shape", ArrayType(IntegerType)),
     StructField("image", ArrayType(FloatType))))
+
+  /** Binary-payload variant: the cube stays a raw little-endian float32
+    * blob end-to-end and StridedGather decodes only the bytes it touches.
+    * Preferred for file/lake-resident corpora — parquet reads one blob
+    * instead of assembling millions of array elements per row
+    * (SURVEY §7.3 "prune into the binary decode"). */
+  val imageBinarySchema: StructType = StructType(Seq(
+    StructField("primary_hdr", MapType(StringType, StringType)),
+    StructField("img_hdr", MapType(StringType, StringType)),
+    StructField("dtype", StringType),
+    StructField("shape", ArrayType(IntegerType)),
+    StructField("image", BinaryType)))
 
   /** Watchlist schema (FIXTURES.md A.2 subset that the hot path consumes —
     * P2 projection of watch_dog.py:109-117). */
@@ -110,14 +121,18 @@ object EpicPipeline {
     */
   /** P9: sources named after solar-system bodies get their (ra, dec)
     * replaced by the ephemeris position at the image timestamp
-    * (watch_dog.py:500-509). Deterministic scalar UDF — runs on the tiny
-    * image×watch frame, never on exploded pixels. */
+    * (watch_dog.py:500-509). Deterministic scalar UDF — evaluated ONCE per
+    * (body, distinct timestamp) on a tiny frame that is then broadcast-
+    * joined back; putting the UDF on the big image×watch frame would both
+    * re-evaluate it per downstream reference (projection collapse inlines
+    * it into every patch-offset lambda) and break whole-stage codegen. */
   case class EphPos(ra: Double, dec: Double)
   private val ephemerisUdf = udf((name: String, t: java.sql.Timestamp) =>
     Ephemeris.position(name, t).map(p => EphPos(p._1, p._2)))
 
-  def resolveBodies(joined: DataFrame): DataFrame =
-    joined
+  /** watch × distinct(img_time) with body positions resolved. */
+  def resolveBodies(watchProj: DataFrame, times: DataFrame): DataFrame =
+    times.crossJoin(watchProj)
       .withColumn("eph",
         ephemerisUdf(lower(col("source_name")), col("img_time")))
       .withColumn("src_ra", coalesce(col("eph.ra"), col("src_ra")))
@@ -132,12 +147,18 @@ object EpicPipeline {
     val hdrImages = withHeaderFields(images)(epochId)
 
     // J1: stream–static broadcast join — every image × every watched source.
-    val joined0 = hdrImages.crossJoin(
-      broadcast(watchlist.select(
-        col("id").as("src_id"), col("source_name"),
-        col("ra").as("src_ra"), col("dec").as("src_dec"),
-        patchSize(col("patch_type")).as("psize"))))
-    val joined = if (ephemeris) resolveBodies(joined0) else joined0
+    val watchProj = watchlist.select(
+      col("id").as("src_id"), col("source_name"),
+      col("ra").as("src_ra"), col("dec").as("src_dec"),
+      patchSize(col("patch_type")).as("psize"))
+    val joined = if (ephemeris) {
+      // broadcast hash join on img_time: ephemeris resolved per distinct
+      // timestamp (watch × times is tiny), image rows never see the UDF
+      val times = hdrImages.select(col("img_time")).distinct()
+      hdrImages.join(broadcast(resolveBodies(watchProj, times)), "img_time")
+    } else {
+      hdrImages.crossJoin(broadcast(watchProj))
+    }
 
     // P5+P4: sky → 1-based float pixel → nearest-pix integer (0-based).
     val maxRad = col("xdim") * 0.5d *
@@ -159,66 +180,94 @@ object EpicPipeline {
         sqrt(pow(col("cx") - col("xdim") / 2d, 2d) +
           pow(col("cy") - col("ydim") / 2d, 2d)) <= maxRad)
 
-    // G1: patch explode — n×n relative offsets (meshgrid as a nested
-    // transform, exploded once as an array<struct<dx,dy>>).
+    // G1: patch offsets — n×n relative offsets (meshgrid as a nested
+    // transform, one array<struct<dx,dy>> per source).
     val half = (col("psize") / 2).cast(IntegerType)
     val offsets = flatten(transform(sequence(-half, half),
       dx => transform(sequence(-half, half),
         dy => struct(dx.as("dx"), dy.as("dy")))))
-    val exploded = centered
-      .withColumn("off", explode(offsets))
-      .withColumn("px", col("cx") + col("off.dx"))
-      .withColumn("py", col("cy") + col("off.dy"))
 
-    // P5 inverse + post-explode per-pixel FOV/NaN mask (must stay
-    // post-explode: it decides per PIXEL, watch_dog.py:422-424).
-    val withSky = exploded
+    // per-pixel FOV/NaN predicate (P5 inverse validity + bounds + radius —
+    // the reference's post-explode mask, watch_dog.py:422-424)
+    def pixelInFov(px: Column, py: Column): Column = {
+      val sky = Wcs.pix2world(px + 1d, py + 1d,
+        col("ra0"), col("dec0"), col("crpix1"), col("crpix2"),
+        col("cdelt1"), col("cdelt2"))
+      !isnan(sky.getField("ra")) && !isnan(sky.getField("dec")) &&
+        px >= 0d && py >= 0d && px < col("xdim") && py < col("ydim") &&
+        sqrt(pow(px - col("xdim") / 2d, 2d) +
+          pow(py - col("ydim") / 2d, 2d)) <= maxRad
+    }
+
+    // A1: all-or-nothing patch filter (watch_dog.py:426-440), evaluated as
+    // forall over the offsets array BEFORE the explode. Same semantics as
+    // the reference's post-explode group-ALL (a patch survives iff every
+    // pixel passes), but expressed pre-explode it needs NO shuffle — the
+    // reference pays a per-image sort/split, a window would shuffle every
+    // exploded row together with its multi-MB image column — and failing
+    // patches never explode at all.
+    val kept = centered.where(
+      forall(offsets, o =>
+        pixelInFov(col("cx") + o.getField("dx"),
+          col("cy") + o.getField("dy"))))
+
+    // J3: strided pixel gather, evaluated per patch while the row count is
+    // still one-per-(image, source) — flat offset into the row-major
+    // [complex, npol, nchan, y, x] cube is (k·ydim + py)·xdim + px for
+    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455); the codegen'd
+    // StridedGather kernel runs inside a transform over the offsets array.
+    // CRITICAL layout decision: the multi-MB `image` column is dropped
+    // BEFORE the explode — exploding first would replicate the whole cube
+    // into every one of the n² pixel rows (observed 6× slowdown).
+    val planes = (lit(2) * col("n_pol") * col("n_chan")).cast(IntegerType)
+    // The `when(monotonically_increasing_id() >= 0, …)` wrapper is a
+    // no-op value-wise but marks the projection non-deterministic, which
+    // stops InferFiltersFromGenerate's `size(pixel_data) > 0` guard from
+    // being substituted through it into the join condition — without the
+    // barrier the optimizer clones the whole gather expression into the
+    // join filter, evaluating every patch gather twice (once before the
+    // FOV filters) and bloating whole-stage codegen by ~10×.
+    val gatheredPatch = kept
+      .withColumn("pixel_data", when(monotonically_increasing_id() >= 0,
+        transform(offsets, o => struct(
+          o.getField("dx").as("dx"),
+          o.getField("dy").as("dy"),
+          graft.plans.StridedGather(col("image"), planes,
+            (col("cy") + o.getField("dy")).cast(IntegerType),
+            (col("cx") + o.getField("dx")).cast(IntegerType),
+            col("ydim"), col("xdim")).as("values")))))
+      .drop("image")
+
+    // explode the (offset, values) structs; per-pixel sky position for the
+    // output rows (P5 inverse — valid by construction after the A1 filter)
+    val withSky = gatheredPatch
+      .withColumn("pd", explode(col("pixel_data")))
+      .withColumn("px", col("cx") + col("pd.dx"))
+      .withColumn("py", col("cy") + col("pd.dy"))
       .withColumn("p2w", Wcs.pix2world(col("px") + 1d, col("py") + 1d,
         col("ra0"), col("dec0"), col("crpix1"), col("crpix2"),
         col("cdelt1"), col("cdelt2")))
-      .withColumn("in_fov",
-        (!isnan(col("p2w.ra")) && !isnan(col("p2w.dec")) &&
-          col("px") >= 0d && col("py") >= 0d &&
-          col("px") < col("xdim") && col("py") < col("ydim") &&
-          sqrt(pow(col("px") - col("xdim") / 2d, 2d) +
-            pow(col("py") - col("ydim") / 2d, 2d)) <= maxRad).cast(IntegerType))
-
-    // A1: all-or-nothing patch filter — keep a (image, source) patch only if
-    // EVERY pixel is in FOV (watch_dog.py:426-440), as a window min.
-    val patchW = Window.partitionBy(col("img_id"), col("src_id"))
-    val kept = withSky
-      .withColumn("patch_ok", min(col("in_fov")).over(patchW))
-      .where(col("patch_ok") === 1)
-
-    // J3: strided pixel gather — flat offset into the row-major
-    // [complex, npol, nchan, y, x] cube is (k·ydim + py)·xdim + px for
-    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455). Custom codegen
-    // expression: one tight loop per pixel over all chan×pol×complex
-    // planes (see graft.plans.StridedGather for why not transform/
-    // element_at).
-    val ipx = col("px").cast(IntegerType)
-    val ipy = col("py").cast(IntegerType)
-    val gathered = kept.withColumn("pixel_values",
-      graft.plans.StridedGather(col("image"),
-        (lit(2) * col("n_pol") * col("n_chan")).cast(IntegerType),
-        ipy, ipx, col("ydim"), col("xdim")))
 
     // P7/P8: typed output points; lm from pure arithmetic.
-    val pixels = gathered.select(
+    val ipx = col("px").cast(IntegerType)
+    val ipy = col("py").cast(IntegerType)
+    val pixels = withSky.select(
       col("img_id").as("id"),
       struct(ipx.as("x"), ipy.as("y")).as("pixel_coord"),
-      col("pixel_values"),
+      col("pd.values").as("pixel_values"),
       struct(col("p2w.ra").as("ra"), col("p2w.dec").as("dec"))
         .as("pixel_skypos"),
       col("source_name").as("source_names"),
       struct(Wcs.pixelToLm(col("px"), col("xdim")).as("l"),
         Wcs.pixelToLm(col("py"), col("ydim")).as("m")).as("pixel_lm"),
-      col("off.dx").as("pix_ofst_x"),
-      col("off.dy").as("pix_ofst_y"))
+      col("pd.dx").as("pix_ofst_x"),
+      col("pd.dy").as("pix_ofst_y"))
 
     // P1+A2: one metadata row per image that produced pixels (store_pg
     // early-return: no pixels ⇒ no metadata row, watch_dog.py:354-357).
-    val meta = gathered
+    // Derived from the pre-explode patch frame: a surviving patch implies
+    // its n² pixel rows exist, so the explode never runs for metadata.
+    val meta = kept
       .groupBy(col("img_id").as("id"))
       .agg(
         first(col("img_time")).as("img_time"),

@@ -52,16 +52,16 @@ object EpicStreaming {
     val t = now()
     store.expireDue(t)                       // M2
     val watch = store.watchlist(t)           // M3: fresh every batch
-    val cached = batch.persist()
-    try {
-      val (pixels, meta) =
-        EpicPipeline.pixelsAndMeta(cached, watch, elevationLimitDeg)
-      // A5: detect_transient extension point (service_hub.py:73-75 — an
-      // identity map stage between ingest and store, reserved for matched
-      // filters / z-score detectors over the pixel stream).
-      transientHook(pixels).write.mode("append")
-        .parquet(s"$outDir/epic_pixels")
-      meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
-    } finally cached.unpersist()
+    // No persist: columnar-caching multi-MB image arrays costs more than
+    // the second source pass, and the metadata frame's lineage stops
+    // before the explode/gather so its re-scan does almost no work.
+    val (pixels, meta) =
+      EpicPipeline.pixelsAndMeta(batch, watch, elevationLimitDeg)
+    // A5: detect_transient extension point (service_hub.py:73-75 — an
+    // identity map stage between ingest and store, reserved for matched
+    // filters / z-score detectors over the pixel stream).
+    transientHook(pixels).write.mode("append")
+      .parquet(s"$outDir/epic_pixels")
+    meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
   }
 }

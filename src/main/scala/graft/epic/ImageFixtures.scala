@@ -2,11 +2,16 @@ package graft.epic
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
-/** Synthetic EPIC image cubes per FIXTURES.md §A.1: 64×64 grid, nchan=4,
-  * npol=2, SIN-projection headers centered at (ra,dec) = (180°, 34°) with
-  * the all-sky direction-cosine scale CDELT = (180/π)/(xdim/2) deg/px.
+/** Synthetic EPIC image cubes per FIXTURES.md §A.1: 64×64 grid,
+  * SIN-projection headers centered at (ra,dec) = (180°, 34°) with the
+  * all-sky direction-cosine scale CDELT = (180/π)/(xdim/2) deg/px.
   *
-  * Cube values are the exact-in-float pattern
+  * Defaults are the small test shape (nchan=4, npol=2, ~256 KB float32);
+  * `nChan = 22` reproduces the reference imager's ~1.4 MB cube
+  * (run.py commented defaults: 22 channels, 96 ms accumulation) for
+  * throughput benchmarking.
+  *
+  * Cube values follow the exact-in-float pattern
   * value(k, y, x) = k·100000 + y·xdim + x   (k = plane index over
   * complex×pol×chan), so gather results are fully predictable.
   */
@@ -19,12 +24,13 @@ object ImageFixtures {
   /** deg/px such that one pixel = 2/xdim in direction cosine. */
   val CDelt: Double = (180.0 / math.Pi) / (XDim / 2.0)
 
-  def imgHeader(datetime: String, filename: String): Map[String, String] = Map(
+  def imgHeader(datetime: String, filename: String,
+      nChan: Int = NChan, nPol: Int = NPol): Map[String, String] = Map(
     "CRVAL1" -> Ra0.toString, "CRVAL2" -> Dec0.toString,
     "CRPIX1" -> CrPix.toString, "CRPIX2" -> CrPix.toString,
     "CDELT1" -> CDelt.toString, "CDELT2" -> CDelt.toString,
     "NAXIS1" -> XDim.toString, "NAXIS2" -> YDim.toString,
-    "NAXIS3" -> NChan.toString, "NAXIS4" -> NPol.toString,
+    "NAXIS3" -> nChan.toString, "NAXIS4" -> nPol.toString,
     "CRVAL3" -> "60000000", "CDELT3" -> "25000", "CRPIX3" -> "1",
     "DATETIME" -> datetime, "FILENAME" -> filename)
 
@@ -32,8 +38,8 @@ object ImageFixtures {
     "GRIDDIMX" -> "64", "GRIDDIMY" -> "64",
     "DGRIDX" -> "1.0", "DGRIDY" -> "1.0", "INTTIM" -> "0.08")
 
-  def cube(): Array[Float] = {
-    val planes = 2 * NPol * NChan
+  def cube(nChan: Int = NChan, nPol: Int = NPol): Array[Float] = {
+    val planes = 2 * nPol * nChan
     val out = new Array[Float](planes * YDim * XDim)
     var k = 0
     while (k < planes) {
@@ -51,13 +57,35 @@ object ImageFixtures {
     out
   }
 
-  def imagesDf(spark: SparkSession, datetimes: Seq[String]): DataFrame = {
+  def imagesDf(spark: SparkSession, datetimes: Seq[String],
+      nChan: Int = NChan, nPol: Int = NPol,
+      numPartitions: Int = 1): DataFrame = {
     val rows = datetimes.zipWithIndex.map { case (dt, i) =>
-      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits"),
-        "float32", Seq(2, NPol, NChan, YDim, XDim), cube().toSeq)
+      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
+        "float32", Seq(2, nPol, nChan, YDim, XDim),
+        cube(nChan, nPol).toSeq)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), EpicPipeline.imageSchema)
+      spark.sparkContext.parallelize(rows, numPartitions),
+      EpicPipeline.imageSchema)
+  }
+
+  /** Same images with the cube as a raw little-endian float32 blob
+    * (EpicPipeline.imageBinarySchema). */
+  def imagesBinaryDf(spark: SparkSession, datetimes: Seq[String],
+      nChan: Int = NChan, nPol: Int = NPol,
+      numPartitions: Int = 1): DataFrame = {
+    val rows = datetimes.zipWithIndex.map { case (dt, i) =>
+      val floats = cube(nChan, nPol)
+      val bb = java.nio.ByteBuffer.allocate(floats.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      floats.foreach(bb.putFloat)
+      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
+        "float32", Seq(2, nPol, nChan, YDim, XDim), bb.array())
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, numPartitions),
+      EpicPipeline.imageBinarySchema)
   }
 
   /** Watchlist: center hit (3x3), offset hit (5x5), a patch straddling the

@@ -87,6 +87,24 @@ class EpicPipelineSpec extends SparkSpec {
     assert(pid == mid && pid.size == 1)
   }
 
+  test("binary-blob image layout produces identical pixel frames") {
+    val dts = Seq("2022-08-31T23:29:10.000000")
+    val watch = ImageFixtures.watchlistDf(spark)
+    val (pxArr, _) = EpicPipeline.pixelsAndMeta(
+      ImageFixtures.imagesDf(spark, dts), watch)
+    val (pxBin, _) = EpicPipeline.pixelsAndMeta(
+      ImageFixtures.imagesBinaryDf(spark, dts), watch)
+    val key = (r: Row) => (r.getAs[Row]("pixel_coord").toString,
+      r.getAs[String]("source_names"))
+    val a = pxArr.collect().map(r =>
+      key(r) -> r.getAs[scala.collection.Seq[Double]]("pixel_values").toSeq)
+      .toMap
+    val b = pxBin.collect().map(r =>
+      key(r) -> r.getAs[scala.collection.Seq[Double]]("pixel_values").toSeq)
+      .toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("PG formatting produces EWKT/point strings at the sink boundary") {
     val (pixels, _) = run("center")
     val r = EpicPipeline.toPgStrings(pixels)
