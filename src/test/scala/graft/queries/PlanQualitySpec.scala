@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.epic.{EpicPipeline, ImageFixtures}
+
+/** Physical-plan assertions: these are the properties that decide whether
+  * the same code is still fast at 1000 executors / 100 TB, checked at the
+  * plan level so a regression fails CI rather than a cluster. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("Q01: filter and projection push into the parquet scan") {
+    val plan = planOf(RelationalQueries.q01(spark, sf0001))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount"))
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"))
+  }
+
+  test("Q02/Q03: dimension joins broadcast (no shuffle of the fact side)") {
+    val p2 = planOf(RelationalQueries.q02(spark, sf0001))
+    assert(p2.contains("BroadcastHashJoin") ||
+      p2.contains("BroadcastExchange"))
+    val p3 = planOf(RelationalQueries.q03(spark, sf0001))
+    assert(p3.contains("BroadcastHashJoin"))
+  }
+
+  test("Q13: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(RelationalQueries.q13(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("Q07: aggregation is partial (map-side combine before the shuffle)") {
+    val plan = planOf(RelationalQueries.q07(spark, sf0001))
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"))
+    // partial agg must appear below the exchange
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "expected partial aggregate under the shuffle")
+  }
+
+  test("EPIC ingest: watchlist broadcasts; pixel path has no shuffle") {
+    val images = ImageFixtures.imagesBinaryDf(spark,
+      Seq("2022-08-31T23:29:10.000000"))
+    val (px, _) = EpicPipeline.pixelsAndMeta(images,
+      ImageFixtures.watchlistDf(spark))
+    val plan = planOf(px)
+    assert(plan.contains("BroadcastExchange"))
+    // the only exchanges allowed are broadcasts (watchlist + ephemeris
+    // frame) and the distinct-timestamps subquery; the per-pixel dataflow
+    // itself must be narrow
+    val shuffles = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(shuffles <= 1, s"unexpected shuffles in hot path:\n$plan")
+  }
+
+  test("EPIC ingest: image blob is pruned out of the metadata lineage") {
+    val images = ImageFixtures.imagesBinaryDf(spark,
+      Seq("2022-08-31T23:29:10.000000"))
+    val (_, meta) = EpicPipeline.pixelsAndMeta(images,
+      ImageFixtures.watchlistDf(spark))
+    val analyzed = meta.queryExecution.optimizedPlan.toString
+    // metadata derives pre-explode and must never touch the cube bytes
+    assert(!analyzed.contains("stridedgather"))
+  }
+}
