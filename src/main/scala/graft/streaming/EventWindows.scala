@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation and streaming dedup over the `events`
+  * stream — the Structured Streaming form of the batch queries Q15/Q16 and
+  * the streaming analog of the reference's 5 s micro-window buffering (S6)
+  * and post-hoc time-series aggregation (A3).
+  *
+  * Scale notes: watermark + tumbling window is the canonical bounded-state
+  * shape — state per (window, event_type) only, late rows beyond the
+  * watermark dropped, so executor state does not grow with stream length.
+  * Streaming dedup keys state by user id and likewise ages it out with the
+  * watermark.
+  */
+object EventWindows {
+
+  /** Tumbling event-time window with watermark; append mode emits a window
+    * only after the watermark passes its end. */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("sv"))
+      .select(col("window.start").as("w"), col("event_type"),
+        col("cnt"), col("sv"))
+
+  /** Streaming exact dedup on (event_type, user_id) with watermark-bounded
+    * state — the streaming analog of Q16's exact distinct count. */
+  def dedupUsers(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .select(col("event_type"), col("user_id"), col("ts"))
+}

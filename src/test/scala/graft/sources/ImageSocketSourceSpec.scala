@@ -62,6 +62,32 @@ class ImageSocketSourceSpec extends SparkSpec {
     assert(r.forall(_.getInt(2) == 2 * 2 * 4 * 64 * 64))
   }
 
+  test("TCP transport (the gRPC-replacement remote endpoint) also streams") {
+    val out = Files.createTempDirectory("epictcp").toString
+    val port = 18000 + scala.util.Random.nextInt(2000)
+    val images = spark.readStream.format("epic-socket")
+      .option("family", "tcp").option("host", "127.0.0.1")
+      .option("port", port.toString).load()
+    val q = images
+      .select(element_at(col("img_hdr"), "DATETIME").as("dt"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    Thread.sleep(500)
+    ImageSocketClient.sendTcp("127.0.0.1", port,
+      frame("2022-08-31T23:29:10.000000"))
+    val deadline = System.currentTimeMillis() + 30000
+    def rows(): Long =
+      try spark.read.parquet(s"$out/rows").count()
+      catch { case _: Exception => 0L }
+    while (rows() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    assert(rows() == 1)
+  }
+
   test("integrity check rejects a frame whose size != prod(shape)") {
     val bad = ImageSocketClient.encode(
       ImageFixtures.primaryHeader,
