@@ -99,4 +99,35 @@ class ImageSocketSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integrity check failed"))
   }
+
+  test("garbage handshake closes the connection; server keeps serving") {
+    val sock = Files.createTempDirectory("epicbad").toString + "/epic.sock"
+    val out = Files.createTempDirectory("epicbadout").toString
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).load()
+    val q = images.select(col("dtype"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    Thread.sleep(500)
+    // a client that speaks nonsense: server must drop it, not die
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    ch.connect(java.net.UnixDomainSocketAddress.of(sock))
+    ch.write(java.nio.ByteBuffer.wrap(
+      "NOT JSON AT ALL".getBytes("UTF-8")))
+    ch.close()
+    // a well-formed frame afterwards still goes through
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
+    val deadline = System.currentTimeMillis() + 30000
+    def rows(): Long =
+      try spark.read.parquet(s"$out/rows").count()
+      catch { case _: Exception => 0L }
+    while (rows() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    assert(rows() == 1)
+  }
 }
