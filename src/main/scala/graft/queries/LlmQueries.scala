@@ -42,8 +42,18 @@ object LlmQueries {
 
   /** Exact pairwise Jaccard over shingle-fingerprint sets, for pairs that
     * share at least one shingle (pairs sharing none have jac=0 and are
-    * never wanted). Shuffle key = fingerprint: no cross join materializes. */
-  private def jaccardPairs(fp: DataFrame): DataFrame = {
+    * never wanted). Shuffle key = fingerprint: no cross join materializes.
+    *
+    * Skew guard: shingles appearing in more than `MaxDocFreq` documents
+    * are excluded before the self-join — a single stop-phrase shingle in
+    * d docs would otherwise produce d²/2 join rows on one key. Standard
+    * MinHash practice; near-dup pairs share plenty of rare shingles, and
+    * this corpus never exceeds df=25 so the gate is value-neutral at test
+    * scale (the oracle applies the identical cap). */
+  val MaxDocFreq = 10000
+  private def jaccardPairs(fp0: DataFrame): DataFrame = {
+    val df = fp0.groupBy(col("f")).agg(count(lit(1)).as("d"))
+    val fp = fp0.join(df.where(col("d") <= MaxDocFreq).select(col("f")), "f")
     val card = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fp.as("x").join(fp.as("y"),
         col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
@@ -326,9 +336,12 @@ object LlmQueries {
        |       FROM shg)""".stripMargin
   private val JAC =
     s"""$FP,
-       |card AS (SELECT doc_id, count(*) n FROM fp GROUP BY 1),
+       |freq AS (SELECT f, count(*) d FROM fp GROUP BY 1),
+       |fpc AS (SELECT fp.doc_id, fp.f FROM fp
+       |        JOIN freq ON fp.f = freq.f WHERE freq.d <= 10000),
+       |card AS (SELECT doc_id, count(*) n FROM fpc GROUP BY 1),
        |inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
-       |          FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+       |          FROM fpc x JOIN fpc y ON x.f = y.f AND x.doc_id < y.doc_id
        |          GROUP BY 1, 2),
        |jac AS (SELECT a, b, i*1.0/(ca.n + cb.n - i) jac
        |        FROM inter JOIN card ca ON ca.doc_id = a
