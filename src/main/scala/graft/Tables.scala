@@ -23,7 +23,9 @@ object Tables {
     // truncate to microseconds here (Spark's native resolution).
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(StructField(n, _, _, _)) =>
-        df.withColumn(n, timestamp_micros((col(n) / 1000L).cast(LongType)))
+        // integer `div`, NOT `/`: epoch-ns ≈ 1.7e18 exceeds double's 53-bit
+        // mantissa, so float division silently perturbs the microseconds
+        df.withColumn(n, timestamp_micros(expr(s"$n div 1000")))
       case None => df
     }
   }

@@ -228,6 +228,18 @@ object RelationalQueries {
       .select(col("n_name"), col("c"))
       .orderBy(col("n_name"))
 
+  /** Q21 session windows — sessionization of the events stream per user
+    * with a 12 h inactivity gap (`session_window` also runs under
+    * Structured Streaming with a watermark; this is the batch-verifiable
+    * form, oracled in DuckDB via lag + cumulative break-sum). */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "12 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("n_events"), col("last_ts"))
+      .orderBy(col("user_id"), col("s_start"))
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -251,6 +263,7 @@ object RelationalQueries {
     "q18_array_agg" -> (q18 _),
     "q19_correlated_subquery" -> (q19 _),
     "q20_epic_shape" -> (q20 _),
+    "q21_session_window" -> (q21 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -357,5 +370,24 @@ object RelationalQueries {
         |GROUP BY n_name
         |HAVING MIN(CASE WHEN c_custkey > 0 THEN 1 ELSE 0 END) = 1
         |ORDER BY n_name""".stripMargin,
+    "q21_session_window" ->
+      """WITH e AS (SELECT user_id,
+        |             -- truncate ns → µs (CAST rounds; Spark truncates)
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |           FROM events),
+        |g AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  IS NULL THEN 1
+        |             WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  >= INTERVAL 12 HOUR THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |       max(ts) AS last_ts
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 }
