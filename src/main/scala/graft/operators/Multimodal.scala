@@ -50,31 +50,44 @@ object Multimodal {
       px_max: Double)
 
   /** DETERMINISTIC FAKE CODEC — stands in for imageio/ffmpeg. Pixel (i) of
-    * a (w×h) frame is hash(payload, frameIdx, i) scaled to [0,1). The same
-    * payload always decodes to the same pixels, on any partitioning. */
+    * a (w×h) frame is an affine-modular hash of (payloadSeed, frameIdx, i)
+    * scaled to [0,1). The same payload always decodes to the same pixels,
+    * on any partitioning.
+    *
+    * All arithmetic is mod 1e9+7 with the payload seed being exactly the
+    * PolyHash text fingerprint (fold (h*31+byte) % 1e9+7, zero init) — so
+    * every derived feature is expressible in ANSI SQL and the DuckDB
+    * oracle can replay the decode bit-for-bit (see LlmQueries m02). */
   object FakeCodec {
-    private def mix(seed: Long, v: Long): Long = {
-      var h = seed ^ (v * 0x9e3779b97f4a7c15L)
-      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-      (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-    }
+    val Mod = 1000000007L
+
+    /** Pixel values live on a 1021-point lattice: k ∈ [0,1021) and
+      * pixel = k/1021. Integer sums of k and k² stay exact in a Long
+      * (≤ 768 px/frame), so aggregate features are order-independent. */
+    val Lattice = 1021L
 
     def payloadSeed(payload: Array[Byte]): Long = {
-      var h = 0x2545f4914f6cdd1dL
+      var h = 0L
       var i = 0
-      while (i < payload.length) { h = mix(h, payload(i) & 0xffL); i += 1 }
+      while (i < payload.length) {
+        h = (h * 31 + (payload(i) & 0xffL)) % Mod
+        i += 1
+      }
       h
     }
 
-    /** decode one frame: ??? in a real build this calls the codec. */
+    /** lattice index of pixel i of frame frameIdx. */
+    def pixelK(seed: Long, frameIdx: Int, i: Int): Long =
+      (seed * (2L * frameIdx + 3L) + (i + 1L) * 1000003L) % Mod % Lattice
+
+    /** decode one frame: in a real build this calls the codec. */
     def decodeFrame(payload: Array[Byte], frameIdx: Int,
         w: Int, h: Int): Array[Float] = {
-      val seed = mix(payloadSeed(payload), frameIdx.toLong)
+      val seed = payloadSeed(payload)
       val out = new Array[Float](w * h)
       var i = 0
       while (i < out.length) {
-        out(i) = ((mix(seed, i.toLong) >>> 11).toDouble / (1L << 53))
-          .toFloat
+        out(i) = (pixelK(seed, frameIdx, i) / 1021.0).toFloat
         i += 1
       }
       out
@@ -159,7 +172,17 @@ object Multimodal {
     }
   }
 
-  /** Per-asset features over the decoded frame (mean/std/min/max). */
+  /** round-half-up to 6 places — same behavior as Spark's and DuckDB's
+    * round(x, 6) on non-negative doubles, so oracle hashes agree. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-asset features over the decoded frame (mean/std/min/max).
+    * Stats are accumulated on the exact integer pixel lattice (Σk, Σk²
+    * fit a Long) and converted to double once at the end — the identical
+    * expression the DuckDB oracle computes, so results are bit-equal and
+    * independent of partitioning/summation order. */
   def features(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -172,20 +195,24 @@ object Multimodal {
       .as[MediaRow]
     rows.mapPartitions { batch =>
       batch.map { m =>
-        val px = FakeCodec.decodeFrame(m.payload, 0, m.width, m.height)
-        var s = 0.0; var s2 = 0.0
-        var mn = Double.MaxValue; var mx = Double.MinValue
+        val seed = FakeCodec.payloadSeed(m.payload)
+        val n = m.width * m.height
+        var s = 0L; var s2 = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
         var i = 0
-        while (i < px.length) {
-          val v = px(i).toDouble
-          s += v; s2 += v * v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
+        while (i < n) {
+          val k = FakeCodec.pixelK(seed, 0, i)
+          s += k; s2 += k * k
+          if (k < mn) mn = k
+          if (k > mx) mx = k
           i += 1
         }
-        val mean = s / px.length
+        val lat = FakeCodec.Lattice.toDouble
+        val mean = s.toDouble / (n * lat)
+        val msq = s2.toDouble / (n * lat * lat)
         MediaFeatures(m.media_id, m.payload.length, m.width, m.height,
-          mean, math.sqrt(math.max(0, s2 / px.length - mean * mean)), mn, mx)
+          round6(mean), round6(math.sqrt(math.max(0, msq - mean * mean))),
+          round6(mn.toDouble / lat), round6(mx.toDouble / lat))
       }
     }
   }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 import graft.Tables
 import graft.functions.ArrayElementSum
@@ -51,9 +52,16 @@ object LlmQueries {
     * this corpus never exceeds df=25 so the gate is value-neutral at test
     * scale (the oracle applies the identical cap). */
   val MaxDocFreq = 10000
-  private def jaccardPairs(fp0: DataFrame): DataFrame = {
+  /** `candDocs`: optional (doc_id) set — when present, Jaccard is computed
+    * only over pairs of those docs (LSH candidate pruning). The df cap is
+    * still computed on the FULL corpus first, so capping semantics (and
+    * per-doc cardinalities) are identical with or without pruning. */
+  private def jaccardPairs(fp0: DataFrame,
+      candDocs: Option[DataFrame] = None): DataFrame = {
     val df = fp0.groupBy(col("f")).agg(count(lit(1)).as("d"))
-    val fp = fp0.join(df.where(col("d") <= MaxDocFreq).select(col("f")), "f")
+    val fpAll = fp0.join(df.where(col("d") <= MaxDocFreq).select(col("f")), "f")
+    val fp = candDocs.fold(fpAll)(cd =>
+      fpAll.join(cd, Seq("doc_id"), "left_semi"))
     val card = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fp.as("x").join(fp.as("y"),
         col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
@@ -158,7 +166,12 @@ object LlmQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    jaccardPairs(fp).join(cand, Seq("a", "b"))
+    // LSH must SAVE work, not just filter output: semi-join the fingerprint
+    // set down to candidate docs first, so exact Jaccard (the quadratic
+    // part) runs only over co-shingled pairs of candidates.
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    jaccardPairs(fp, Some(candDocs)).join(cand, Seq("a", "b"))
       .where(col("jac") >= 0.8d)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("a"), col("b"))
@@ -166,8 +179,16 @@ object LlmQueries {
 
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
-    * Hamming distance ≤ 5. Signature build is one groupBy; at scale the
-    * pair join would key on signature bands like D03. */
+    * Hamming distance ≤ 5.
+    *
+    * Candidate generation is BANDED, not all-pairs: the 32-bit signature
+    * splits into 6 disjoint bit-bands, and Hamming ≤ 5 means the 5
+    * differing bits can touch at most 5 bands — pigeonhole guarantees at
+    * least one band is bit-identical. So candidates come from a band+key
+    * equi-join (shuffle key = band value, linear-ish at corpus scale, no
+    * cartesian), and exact Hamming verifies each candidate. Result set is
+    * provably identical to the all-pairs formulation — the oracle keeps
+    * the straightforward all-pairs SQL. */
   def d04Simhash(s: SparkSession, dir: String): DataFrame = {
     val fp = shingleFps(docs(s, dir))
     val sumCols = (0 until 32).map(j =>
@@ -178,9 +199,22 @@ object LlmQueries {
       (0 until 32).map(j =>
         when(col(s"s$j") > 0, lit(1L) * (1L << j)).otherwise(0L))
         .reduce(_ + _).as("h"))
-    h.as("x").join(h.as("y"), col("x.doc_id") < col("y.doc_id"))
+    // 6 bands over 32 bits: 6+6+6+6+4+4
+    val bandSpec = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+    val bandKeys = bandSpec.map { case (off, len) =>
+      shiftright(col("h"), off).bitwiseAND(lit((1L << len) - 1L))
+    }
+    val bands = h.select(col("doc_id"), col("h"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .where(col("hamming") <= 5)
       .orderBy(col("a"), col("b"))
   }
@@ -255,7 +289,10 @@ object LlmQueries {
   /** A01: element-wise array sum via the ArrayElementSum Aggregator —
     * ragged arrays zero-pad like the reference's PL/pgSQL array_add
     * (functions.sql:14-17). Values are integral doubles so distributed
-    * summation order cannot perturb the result. */
+    * summation order cannot perturb the result. Output is serialized to a
+    * canonical CSV string (integral → BIGINT first, so Spark and DuckDB
+    * render identically): the driver's pandas harness cannot sort/hash
+    * array cells. */
   def a01ArrayElementSum(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"),
@@ -263,7 +300,10 @@ object LlmQueries {
           col("l_quantity") + col("l_linenumber")),
           lit(1), (col("l_orderkey") % 3 + 1).cast("int")).as("arr"))
       .groupBy(col("l_returnflag"))
-      .agg(ArrayElementSum.column(col("arr")).as("sums"))
+      .agg(array_join(
+        ArrayElementSum.column(col("arr"))
+          .cast(ArrayType(LongType)).cast(ArrayType(StringType)), ",")
+        .as("sums"))
       .orderBy(col("l_returnflag"))
 
   // ---- multimodal metadata (binary-column plumbing) ---------------------
@@ -282,8 +322,10 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   /** M02: batch decode + per-asset features through the mapPartitions
-    * plumbing (deterministic fake codec → no SQL oracle; the driver's
-    * rows-only check applies; MultimodalSpec pins the numerics). */
+    * plumbing. The fake codec is pure mod-1e9+7 arithmetic seeded by the
+    * PolyHash text fingerprint (the t04 hash), with pixels on an integer
+    * lattice — so the whole decode+feature path replays in DuckDB SQL and
+    * this IS oracled, not just rows-checked. */
   def m02MediaFeatures(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.features(
       graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir)))
@@ -480,7 +522,8 @@ object LlmQueries {
         |flat AS (SELECT l_returnflag, UNNEST(arr) v,
         |                UNNEST(range(1, len(arr)+1)) idx FROM arrs),
         |sums AS (SELECT l_returnflag, idx, SUM(v) s FROM flat GROUP BY 1, 2)
-        |SELECT l_returnflag, list(s ORDER BY idx) AS sums
+        |SELECT l_returnflag,
+        |       array_to_string(list(CAST(s AS BIGINT) ORDER BY idx), ',') AS sums
         |FROM sums GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "m01_multimodal_meta" ->
       """SELECT doc_id,
@@ -491,6 +534,31 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS fake_w,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_media_features" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) seed,
+        |    CAST(octet_length(encode(text)) AS INTEGER) n_bytes,
+        |    CAST(n_chars % 24 + 8 AS INTEGER) w,
+        |    CAST(n_chars % 16 + 8 AS INTEGER) h
+        |  FROM documents),
+        |px AS (SELECT doc_id, n_bytes, w, h,
+        |    ((seed * 3 + (UNNEST(range(0, CAST(w AS BIGINT) * h)) + 1)
+        |      * 1000003) % 1000000007) % 1021 AS k
+        |  FROM fp),
+        |agg AS (SELECT doc_id, n_bytes, w, h, COUNT(*) n,
+        |        SUM(k) s, SUM(k*k) s2, MIN(k) mn, MAX(k) mx
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id AS media_id, n_bytes, w AS width, h AS height,
+        |  round(CAST(s AS DOUBLE) / (n * 1021.0), 6) AS px_mean,
+        |  round(sqrt(greatest(0.0,
+        |    CAST(s2 AS DOUBLE) / (n * 1021.0 * 1021.0)
+        |    - (CAST(s AS DOUBLE) / (n * 1021.0))
+        |      * (CAST(s AS DOUBLE) / (n * 1021.0)))), 6) AS px_std,
+        |  round(CAST(mn AS DOUBLE) / 1021.0, 6) AS px_min,
+        |  round(CAST(mx AS DOUBLE) / 1021.0, 6) AS px_max
+        |FROM agg ORDER BY media_id""".stripMargin,
     "m03_media_frame_sample" ->
       """SELECT doc_id AS media_id,
         |       CAST(((doc_id % 7 + 1) + 1) // 2 AS BIGINT) AS n_frames_sampled

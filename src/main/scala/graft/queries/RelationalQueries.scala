@@ -50,7 +50,9 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("c_acctbal").cast(dec2)).cast(dec2).as("bal"))
+        // decimal-exact summation, DOUBLE output: the driver hashes cell
+        // objects, and parquet DECIMAL vs DuckDB float64 never hash-match.
+        sum(col("c_acctbal").cast(dec2)).cast(dec2).cast(DoubleType).as("bal"))
       .orderBy(col("n_name"))
 
   /** Q03 multi-way join + theta predicate on the fact side. */
@@ -141,7 +143,8 @@ object RelationalQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        sum(col("l_extendedprice").cast(dec2)).over(w).cast(dec2).as("run"))
+        sum(col("l_extendedprice").cast(dec2)).over(w).cast(dec2)
+          .cast(DoubleType).as("run"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("run"))
   }
 
@@ -178,7 +181,7 @@ object RelationalQueries {
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(dec3)).cast(dec3).as("sv"))
+        sum(col("value").cast(dec3)).cast(dec3).cast(DoubleType).as("sv"))
       .orderBy(col("w"), col("event_type"))
 
   /** Q16 exact distinct count per group. */
@@ -195,11 +198,15 @@ object RelationalQueries {
         explode(sequence(lit(1), col("p_size") % 3 + 1)).as("off"))
       .orderBy(col("p_partkey"), col("off"))
 
-  /** Q18 array aggregate: collect + sort (deterministic array build). */
+  /** Q18 array aggregate: collect + sort (deterministic array build).
+    * Output serialized to a canonical CSV string — the driver's pandas
+    * harness cannot sort/hash array cells (numpy.ndarray is unhashable). */
   def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(array_join(
+        array_sort(collect_list(col("l_linenumber")))
+          .cast(ArrayType(StringType)), ",").as("lines"))
       .orderBy(col("l_orderkey"))
 
   /** Q19 correlated scalar subquery, decorrelated into agg + equi join —
@@ -275,7 +282,7 @@ object RelationalQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q02_join_agg" ->
       """SELECT n.n_name, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        |       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q03_multijoin_theta" ->
@@ -321,10 +328,10 @@ object RelationalQueries {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q11_running_window" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
         |         OVER (PARTITION BY l_orderkey
         |               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, run""".stripMargin,
     "q12_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
@@ -342,7 +349,7 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
     "q15_time_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sv
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2
         |ORDER BY w, event_type""".stripMargin,
     "q16_distinct_count" ->
@@ -354,7 +361,8 @@ object RelationalQueries {
         |  FROM part) t
         |ORDER BY p_partkey, off""".stripMargin,
     "q18_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q19_correlated_subquery" ->
       """SELECT o_orderkey FROM orders o

@@ -45,6 +45,16 @@ class PlanQualitySpec extends SparkSpec {
       "expected partial aggregate under the shuffle")
   }
 
+  test("D03/D04: dedup candidate joins are equi-joins, never all-pairs") {
+    for (q <- Seq("d03_dedup_minhash_lsh", "d04_dedup_simhash")) {
+      val plan = planOf(LlmQueries.all(q)(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("EPIC ingest: watchlist broadcasts; pixel path has no shuffle") {
     val images = ImageFixtures.imagesBinaryDf(spark,
       Seq("2022-08-31T23:29:10.000000"))

@@ -8,7 +8,9 @@ matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
 sfDir parquet tables, sorts columns by name, and compares row counts, schema
 and values. Dev tool only — the engine itself never depends on this.
 """
+import datetime
 import glob
+import hashlib
 import json
 import sys
 
@@ -19,14 +21,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else
-                (tuple(v) if isinstance(v, list) else v))
-    return df
+def cell(v) -> str:
+    """Type-aware cell rendering: decimal.Decimal vs numpy.float64 must NOT
+    compare equal (the driver hashes cell objects, so they don't there
+    either). Nulls normalize (None vs NaN is representation, not value), and
+    so do date-vs-midnight-timestamp (the driver's r01 run hash-matched q14
+    across exactly that pairing, so its comparison treats them as equal)."""
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        v = pd.Timestamp(v)
+    return f"{type(v).__name__}:{v!r}"
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    # driver semantics: sort columns by name, sort rows by all columns
+    # (this is exactly where array cells crash the driver — an ERR here
+    # reproduces an ERR there), then hash cell objects.
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        for v in row:
+            h.update(cell(v).encode())
+            h.update(b";")
+        h.update(b"|")
+    return h.hexdigest()
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -42,23 +66,32 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"MISSING  {name} (no spark output)")
             n_fail += 1
             continue
-        got = norm(con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf())
-        want = norm(con.execute(oracle[name]).fetchdf())
+        # the driver reads the Spark parquet with pandas (NOT duckdb):
+        # parquet DECIMAL arrives as decimal.Decimal objects, while the
+        # duckdb oracle side arrives float64 — reading both through duckdb
+        # would mask exactly that class of mismatch.
+        got = pd.concat([pd.read_parquet(f) for f in files],
+                        ignore_index=True)
+        want = con.execute(oracle[name]).fetchdf()
         status, detail = "PASS", ""
-        if list(got.columns) != list(want.columns):
-            status, detail = "FAIL", f"cols {list(got.columns)} != {list(want.columns)}"
+        if sorted(got.columns) != sorted(want.columns):
+            status = "FAIL"
+            detail = f"cols {sorted(got.columns)} != {sorted(want.columns)}"
         elif len(got) != len(want):
             status, detail = "FAIL", f"rows {len(got)} != {len(want)}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                              check_exact=True)
-            except AssertionError as e:
-                status, detail = "FAIL", str(e).split("\n")[0]
-            for c in got.columns:          # dtype drift worth knowing about
-                if str(got[c].dtype) != str(want[c].dtype) and status == "PASS":
-                    detail += f" [dtype {c}: {got[c].dtype} vs {want[c].dtype}]"
+                hg, hw = frame_hash(got), frame_hash(want)
+            except Exception as e:              # driver-harness ERR analog
+                status, detail = "ERR", f"{type(e).__name__}: {e}"
+            else:
+                if hg != hw:
+                    status, detail = "FAIL", "hash mismatch"
+                    for c in sorted(got.columns):
+                        if frame_hash(got[[c]]) != frame_hash(want[[c]]):
+                            gv = got[c].iloc[0] if len(got) else None
+                            wv = want[c].iloc[0] if len(want) else None
+                            detail += (f" [{c}: {cell(gv)} vs {cell(wv)}]")
         print(f"{status:7}  {name} {detail}")
         n_pass += status == "PASS"
         n_fail += status != "PASS"
