@@ -46,26 +46,40 @@ object Bench {
     val images = spark.read.parquet(s"$tmp/images")
     val watch = ImageFixtures.watchlistDf(spark)
     // untimed warm-up batch: pays one-time codegen compilation like the
-    // first micro-batch of a streaming query; steady state is what we rate
+    // first micro-batch of a streaming query; steady state is what we rate.
+    // Then 3 timed batches — the median is the headline (single cold runs
+    // on a shared host vary ~2×; the recorded baseline must be the number
+    // an independent run reproduces).
     val (wpx, wmeta) = EpicPipeline.pixelsAndMeta(images, watch)
     wpx.write.parquet(s"$tmp/warm_px")
     wmeta.write.parquet(s"$tmp/warm_meta")
-    val t0 = System.nanoTime()
-    val (px, meta) = EpicPipeline.pixelsAndMeta(images, watch)
-    px.write.parquet(s"$tmp/epic_pixels")
-    meta.write.parquet(s"$tmp/epic_img_metadata")
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val imagesPerSec = nImages / pipeSec
-    val nPx = spark.read.parquet(s"$tmp/epic_pixels").count()
+    val runs = (1 to 3).map { r =>
+      val t0 = System.nanoTime()
+      val (px, meta) = EpicPipeline.pixelsAndMeta(images, watch)
+      px.write.parquet(s"$tmp/epic_pixels_$r")
+      meta.write.parquet(s"$tmp/epic_img_metadata_$r")
+      nImages / ((System.nanoTime() - t0) / 1e9)
+    }
+    val imagesPerSec = runs.sorted.apply(runs.size / 2)
+    val nPx = spark.read.parquet(s"$tmp/epic_pixels_1").count()
     require(nPx > 0 &&
-      spark.read.parquet(s"$tmp/epic_img_metadata").count() == nImages)
+      spark.read.parquet(s"$tmp/epic_img_metadata_1").count() == nImages)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""images_per_sec":$imagesPerSec,"pipeline_images":$nImages,""" +
-      s""""pipeline_pixel_rows":$nPx,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""images_per_sec":$imagesPerSec,""" +
+      s""""images_per_sec_runs":${runs.mkString("[", ",", "]")},""" +
+      s""""pipeline_images":$nImages,""" +
+      s""""pipeline_pixel_rows":$nPx,"sf":"$sfDir"}"""
+    println(json)
+    // also write to a file: sbt buries stdout in [info]-prefixed logs, and
+    // the round gate needs machine-parseable numbers
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

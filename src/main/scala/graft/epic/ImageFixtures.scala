@@ -57,35 +57,41 @@ object ImageFixtures {
     out
   }
 
+  /** Cube synthesis happens EXECUTOR-side: tasks carry only (datetime,
+    * index) seeds, never the multi-MB cube bytes — at nChan=22 a
+    * driver-side build would ship ~1.4 MB per row inside the task binary
+    * (Spark's "task of very large size" warning, and at cluster scale a
+    * driver-bandwidth bottleneck). */
   def imagesDf(spark: SparkSession, datetimes: Seq[String],
       nChan: Int = NChan, nPol: Int = NPol,
       numPartitions: Int = 1): DataFrame = {
-    val rows = datetimes.zipWithIndex.map { case (dt, i) =>
-      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
-        "float32", Seq(2, nPol, nChan, YDim, XDim),
-        cube(nChan, nPol).toSeq)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, numPartitions),
-      EpicPipeline.imageSchema)
+    val rdd = spark.sparkContext
+      .parallelize(datetimes.zipWithIndex, numPartitions)
+      .map { case (dt, i) =>
+        Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
+          "float32", Seq(2, nPol, nChan, YDim, XDim),
+          cube(nChan, nPol).toSeq)
+      }
+    spark.createDataFrame(rdd, EpicPipeline.imageSchema)
   }
 
   /** Same images with the cube as a raw little-endian float32 blob
-    * (EpicPipeline.imageBinarySchema). */
+    * (EpicPipeline.imageBinarySchema); blob built executor-side like
+    * [[imagesDf]]. */
   def imagesBinaryDf(spark: SparkSession, datetimes: Seq[String],
       nChan: Int = NChan, nPol: Int = NPol,
       numPartitions: Int = 1): DataFrame = {
-    val rows = datetimes.zipWithIndex.map { case (dt, i) =>
-      val floats = cube(nChan, nPol)
-      val bb = java.nio.ByteBuffer.allocate(floats.length * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      floats.foreach(bb.putFloat)
-      Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
-        "float32", Seq(2, nPol, nChan, YDim, XDim), bb.array())
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, numPartitions),
-      EpicPipeline.imageBinarySchema)
+    val rdd = spark.sparkContext
+      .parallelize(datetimes.zipWithIndex, numPartitions)
+      .map { case (dt, i) =>
+        val floats = cube(nChan, nPol)
+        val bb = java.nio.ByteBuffer.allocate(floats.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        floats.foreach(bb.putFloat)
+        Row(primaryHeader, imgHeader(dt, s"EPIC_fixture_$i.fits", nChan, nPol),
+          "float32", Seq(2, nPol, nChan, YDim, XDim), bb.array())
+      }
+    spark.createDataFrame(rdd, EpicPipeline.imageBinarySchema)
   }
 
   /** Watchlist: center hit (3x3), offset hit (5x5), a patch straddling the
