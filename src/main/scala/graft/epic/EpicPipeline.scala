@@ -298,4 +298,13 @@ object EpicPipeline {
         col("pixel_skypos.ra"), col("pixel_skypos.dec")))
     .withColumn("pixel_lm",
       format_string("(%s,%s)", col("pixel_lm.l"), col("pixel_lm.m")))
+
+  /** Metadata-side sink formatting: struct/array columns become the PG
+    * literals the reference writes (pg_pixel_storage.py epic_img_metadata
+    * columns) so every cell is a plain JDBC scalar. */
+  def metaToPgStrings(meta: DataFrame): DataFrame = meta
+    .withColumn("img_size",
+      format_string("(%d,%d)", col("img_size.x"), col("img_size.y")))
+    .withColumn("source_names",
+      concat(lit("{"), array_join(col("source_names"), ","), lit("}")))
 }

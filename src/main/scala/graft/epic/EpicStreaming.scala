@@ -25,21 +25,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object EpicStreaming {
 
   /** Start the ingest query. `images` must be a *streaming* DataFrame with
-    * EpicPipeline.imageSchema columns. */
+    * EpicPipeline.imageSchema columns. `sink` defaults to the dual-parquet
+    * append under `outDir`; pass [[jdbcBatchSink]] for the PG swap (S5). */
   def start(images: DataFrame, store: WatchStore, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       elevationLimitDeg: Double = 30.0,
-      transientHook: DataFrame => DataFrame = identity): StreamingQuery = {
+      transientHook: DataFrame => DataFrame = identity,
+      sink: Option[(DataFrame, DataFrame) => Unit] = None): StreamingQuery = {
     images.writeStream
       .queryName("epic-ingest")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, store, outDir, elevationLimitDeg,
-          transientHook = transientHook)
+          transientHook = transientHook, sink = sink)
       }
       .start()
+  }
+
+  /** S5 JDBC swap: both frames through the PG-literal formatters, then
+    * batched inserts with reconnect-retry (JdbcSink). The reference's
+    * table names (create_pixel_tables.sql) are the defaults. */
+  def jdbcBatchSink(jdbc: JdbcSink,
+      pixelsTable: String = "epic_pixels",
+      metaTable: String = "epic_img_metadata")
+      : (DataFrame, DataFrame) => Unit = (pixels, meta) => {
+    jdbc.append(EpicPipeline.toPgStrings(pixels), pixelsTable)
+    jdbc.append(EpicPipeline.metaToPgStrings(meta), metaTable)
   }
 
   /** One micro-batch: expiry tick, watchlist snapshot, pipeline, dual
@@ -48,7 +61,8 @@ object EpicStreaming {
   def processBatch(batch: DataFrame, store: WatchStore, outDir: String,
       elevationLimitDeg: Double = 30.0,
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-      transientHook: DataFrame => DataFrame = identity): Unit = {
+      transientHook: DataFrame => DataFrame = identity,
+      sink: Option[(DataFrame, DataFrame) => Unit] = None): Unit = {
     val t = now()
     store.expireDue(t)                       // M2
     val watch = store.watchlist(t)           // M3: fresh every batch
@@ -60,8 +74,12 @@ object EpicStreaming {
     // A5: detect_transient extension point (service_hub.py:73-75 — an
     // identity map stage between ingest and store, reserved for matched
     // filters / z-score detectors over the pixel stream).
-    transientHook(pixels).write.mode("append")
-      .parquet(s"$outDir/epic_pixels")
-    meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
+    val px = transientHook(pixels)
+    sink match {
+      case Some(s) => s(px, meta)
+      case None =>
+        px.write.mode("append").parquet(s"$outDir/epic_pixels")
+        meta.write.mode("append").parquet(s"$outDir/epic_img_metadata")
+    }
   }
 }

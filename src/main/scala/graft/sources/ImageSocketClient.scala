@@ -78,4 +78,38 @@ object ImageSocketClient {
     }
     out.flush()
   }
+
+  /** Remote watch management over the same socket the images flow through
+    * (the reference dispatches both by processor name, uds_server.py:
+    * 122-137). `json` is an object of addWatch parameters; returns the
+    * server's JSON reply (`{"id":N}` or `{"error":…}`). */
+  def sendWatchUds(socketPath: String, json: String): String = {
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(socketPath))
+    try sendWatch(ch, json) finally ch.close()
+  }
+
+  def sendWatchTcp(host: String, port: Int, json: String): String = {
+    val ch = SocketChannel.open(new InetSocketAddress(host, port))
+    try sendWatch(ch, json) finally ch.close()
+  }
+
+  private def sendWatch(ch: SocketChannel, json: String): String = {
+    val out = new DataOutputStream(Channels.newOutputStream(ch))
+    val in = new DataInputStream(Channels.newInputStream(ch))
+    val payload = json.getBytes(StandardCharsets.UTF_8)
+    out.write(s"""["watch_source", ${payload.length}]"""
+      .getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    val reply = new Array[Byte](16)
+    val n = in.read(reply)
+    val r = new String(reply, 0, math.max(n, 0), StandardCharsets.UTF_8)
+    require(r == "proceed", s"handshake rejected: '$r'")
+    out.write(payload)
+    out.flush()
+    val resp = new Array[Byte](4096)
+    val m = in.read(resp)
+    require(m > 0, "no reply to watch_source")
+    new String(resp, 0, m, StandardCharsets.UTF_8)
+  }
 }

@@ -48,9 +48,12 @@ import graft.epic.EpicPipeline
   * check, which throws like the reference's raise at :102-104.
   *
   * Accepted frames buffer on the driver between `latestOffset` and `commit`
-  * (micro-batch replay within a run); like Spark's own socket source this
-  * transport is not fault-tolerant across restarts — the durable path is
-  * files/Kafka in front.
+  * (micro-batch replay within a run); like Spark's own socket source the
+  * inline mode is not fault-tolerant across restarts. `spillDir` switches
+  * to the durable topology: frames land on (shared) storage as files,
+  * partitions carry paths instead of payloads, executors read the bytes —
+  * the driver never holds frame data and tasks stay bytes-sized. A
+  * files/Kafka front-end remains the fully restart-safe option.
   *
   * Usage:
   * {{{
@@ -90,8 +93,12 @@ case class FrameOffset(n: Long) extends Offset {
 }
 
 /** One frame per input partition: frames are independent images; a batch of
-  * k frames decodes k-way parallel. */
-case class FramePartition(payload: Array[Byte]) extends InputPartition
+  * k frames decodes k-way parallel. Exactly one of (payload, path) is set:
+  * inline payload in the default mode, a spill-file path in durable mode —
+  * path partitions are a few bytes, so tasks stay small and the driver
+  * never holds frame bytes. */
+case class FramePartition(payload: Array[Byte], path: String)
+    extends InputPartition
 
 class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
@@ -100,13 +107,31 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val path = options.getOrDefault("path", "/tmp/epic_image.sock")
   private val host = options.getOrDefault("host", "127.0.0.1")
   private val port = options.getOrDefault("port", "8023").toInt
+  /** When set, the same socket also accepts `watch_source` requests
+    * (uds_server.py:122-137 dispatches by processor name on one server) —
+    * remote watch management lands in the WatchStore at this path and
+    * joins the stream from the next micro-batch. */
+  private val watchStorePath = options.getOrDefault("watchStorePath", "")
   /** Backpressure: max buffered frames before the accept loop blocks
     * (maxOffsetsPerTrigger analog; reference used pool admission control,
     * uds_server.py:209-216). */
   private val maxBuffered = options.getOrDefault("maxBufferedFrames", "256").toInt
+  /** Durable ingest mode: when set, every accepted frame spills to a file
+    * under this directory (shared storage on a real cluster) and the
+    * driver buffers ONLY the path — partitions then carry a few-byte
+    * reference instead of a multi-MB payload, executors read the bytes
+    * themselves, and driver heap stays O(frame count), not O(bytes). This
+    * is the 100 TB topology (frames → files, offsets in partitions); the
+    * inline default matches Spark's own socket source and is for tests
+    * and single-node runs. */
+  private val spillDir = options.getOrDefault("spillDir", "")
 
-  private val frames = new ArrayBuffer[Array[Byte]]()
+  /** Buffered frame: inline bytes (default) or a spill path (durable). */
+  private case class FrameRef(payload: Array[Byte], path: String)
+
+  private val frames = new ArrayBuffer[FrameRef]()
   private var baseOffset = 0L // offset of frames(0)
+  private var spillSeq = 0L   // monotonically-increasing spill file id
   private val running = new AtomicBoolean(true)
   private val lock = new Object
 
@@ -159,21 +184,86 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
           s"bad handshake: $handshake")
         val processor = node.get(0).asText()
         val size = node.get(1).asLong()
-        require(processor == "epic_image", s"unknown processor: $processor")
-        out.write("proceed".getBytes(StandardCharsets.UTF_8))
-        out.flush()
-        // phase 2: exactly `size` bytes
-        val payload = new Array[Byte](size.toInt)
-        in.readFully(payload)
-        lock.synchronized {
-          while (frames.size >= maxBuffered && running.get()) lock.wait(100)
-          frames += payload
-          lock.notifyAll()
+        processor match {
+          case "epic_image" =>
+            out.write("proceed".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            // phase 2: exactly `size` bytes
+            val payload = new Array[Byte](size.toInt)
+            in.readFully(payload)
+            val ref =
+              if (spillDir.isEmpty) FrameRef(payload, null)
+              else FrameRef(null, spill(payload))
+            lock.synchronized {
+              while (frames.size >= maxBuffered && running.get()) lock.wait(100)
+              frames += ref
+              lock.notifyAll()
+            }
+          case "watch_source" =>
+            require(watchStorePath.nonEmpty,
+              "watch_source disabled: source started without watchStorePath")
+            out.write("proceed".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            val payload = new Array[Byte](size.toInt)
+            in.readFully(payload)
+            out.write(handleWatch(payload).getBytes(StandardCharsets.UTF_8))
+            out.flush()
+          case other =>
+            throw new IllegalArgumentException(s"unknown processor: $other")
         }
       }
     } catch {
       case _: Throwable => // connection closed
     } finally conn.close()
+  }
+
+  /** Write-then-rename so a partially-written spill file is never visible
+    * to an executor; sequence numbers keep paths unique across frames. */
+  private def spill(payload: Array[Byte]): String = {
+    val seq = lock.synchronized { spillSeq += 1; spillSeq }
+    val dir = Paths.get(spillDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".frame-$seq.tmp")
+    val dst = dir.resolve(s"frame-$seq.bin")
+    Files.write(tmp, payload)
+    Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    dst.toString
+  }
+
+  /** Remote `watch_source` RPC (C1 remote form; parity with
+    * uds_server.py:122-137 + server.py:57-72): payload is a JSON object of
+    * addWatch parameters; reply is `{"id":N}` (M1 insert-returning) or
+    * `{"error":…}`. Runs on the driver's connection thread — WatchStore is
+    * a control-plane object by design, so the tiny Spark jobs it runs per
+    * add are fine here (never per-record). */
+  private def handleWatch(payload: Array[Byte]): String = {
+    try {
+      val n = ImageFrameDecoder.mapper.readTree(payload)
+      def str(k: String, d: String) =
+        if (n.hasNonNull(k)) n.get(k).asText() else d
+      val spark = org.apache.spark.sql.SparkSession.getDefaultSession
+        .getOrElse(throw new IllegalStateException("no SparkSession"))
+      val store = new graft.epic.WatchStore(spark, watchStorePath)
+      val id = store.addWatch(
+        sourceName = str("source_name", ""),
+        ra = str("ra", ""),
+        dec = str("dec", ""),
+        author = str("author", "batman"),
+        reason = str("reason", "Detection of a transient with EPIC"),
+        watchMode = str("watch_mode", "continuous"),
+        patchType = str("patch_type", "3x3"),
+        duration = str("duration", "7d"),
+        eventType = str("event_type", "Manual trigger"),
+        voevent = str("voevent", ""))
+      s"""{"id":$id}"""
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").take(500)
+        s"""{"error":"$msg"}"""
+    }
   }
 
   override def initialOffset(): Offset = FrameOffset(0L)
@@ -191,22 +281,31 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     lock.synchronized {
       val from = math.max(0L, s - baseOffset).toInt
       val until = math.max(0L, e - baseOffset).toInt
-      frames.slice(from, until).map(p => FramePartition(p): InputPartition)
+      frames.slice(from, until)
+        .map(f => FramePartition(f.payload, f.path): InputPartition)
         .toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new ImageFrameReader(
-          partition.asInstanceOf[FramePartition].payload)
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[FramePartition]
+        new ImageFrameReader(p.payload, p.path)
+      }
     }
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameOffset].n
     lock.synchronized {
       val drop = math.max(0L, math.min(e - baseOffset, frames.size.toLong)).toInt
+      // processed + checkpointed: spilled files for committed frames are
+      // no longer needed for replay within this run
+      frames.take(drop).foreach { f =>
+        if (f.path != null)
+          try Files.deleteIfExists(Paths.get(f.path))
+          catch { case _: Throwable => }
+      }
       frames.remove(0, drop)
       baseOffset += drop
       lock.notifyAll()
@@ -222,15 +321,20 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
 
 /** Executor-side decode (S3): header JSON split + binary→float32 cast +
   * integrity check, the PartitionReader analog of
-  * uds_server.py:84-120's epic_image_p. */
-class ImageFrameReader(payload: Array[Byte])
+  * uds_server.py:84-120's epic_image_p. In durable mode (`path` set) the
+  * executor reads the spilled bytes itself — the task carried only the
+  * path. */
+class ImageFrameReader(payload: Array[Byte], path: String = null)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (done) return false
-    row = ImageFrameDecoder.decode(payload)
+    val bytes =
+      if (payload != null) payload
+      else Files.readAllBytes(Paths.get(path))
+    row = ImageFrameDecoder.decode(bytes)
     done = true
     true
   }

@@ -88,6 +88,45 @@ class ImageSocketSourceSpec extends SparkSpec {
     assert(rows() == 1)
   }
 
+  test("watch_source RPC over the live socket joins the next micro-batch") {
+    val dir = Files.createTempDirectory("epicwatch").toString
+    val sock = s"$dir/epic.sock"
+    val wl = s"$dir/wl"
+    val out = s"$dir/out"
+    val store = new graft.epic.WatchStore(spark, wl)
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).option("watchStorePath", wl).load()
+    val q = graft.epic.EpicStreaming.start(images, store, out, s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    Thread.sleep(500)
+    // remote add over the SAME socket the images flow through
+    // (uds_server.py:122-137 processor dispatch)
+    val reply = ImageSocketClient.sendWatchUds(sock,
+      """{"source_name":"center","ra":"180.0","dec":"34.0",""" +
+        """"patch_type":"3x3"}""")
+    assert(reply == """{"id":1}""", reply)
+    assert(store.watchlist().select("source_name").collect()
+      .map(_.getString(0)).toSeq == Seq("center"))
+    // duplicate guard travels back as a JSON error, server keeps serving
+    val dup = ImageSocketClient.sendWatchUds(sock,
+      """{"source_name":"center","ra":"180.0","dec":"34.0"}""")
+    assert(dup.contains("error") && dup.contains("already being watched"))
+    // the watch added mid-stream takes effect: next frame yields its 3x3
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
+    val deadline = System.currentTimeMillis() + 30000
+    def cnt(p: String): Long =
+      try spark.read.parquet(s"$out/$p").count()
+      catch { case _: Exception => 0L }
+    // wait for BOTH sinks: stop() between the two appends would otherwise
+    // strand the batch half-written
+    while ((cnt("epic_pixels") < 9 || cnt("epic_img_metadata") < 1) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    assert(cnt("epic_pixels") == 9)
+    assert(cnt("epic_img_metadata") == 1)
+  }
+
   test("integrity check rejects a frame whose size != prod(shape)") {
     val bad = ImageSocketClient.encode(
       ImageFixtures.primaryHeader,
@@ -98,6 +137,42 @@ class ImageSocketSourceSpec extends SparkSpec {
       ImageFrameDecoder.decode(bad)
     }
     assert(e.getMessage.contains("integrity check failed"))
+  }
+
+  test("durable mode: partitions carry spill paths, never payload bytes") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("epicspill").toString
+    val sock = s"$dir/epic.sock"
+    val stream = new ImageSocketMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> sock, "spillDir" -> s"$dir/frames").asJava))
+    try {
+      Thread.sleep(300)
+      ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
+      ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:11.000000"))
+      val deadline = System.currentTimeMillis() + 10000
+      while (stream.latestOffset().asInstanceOf[FrameOffset].n < 2 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val parts = stream.planInputPartitions(FrameOffset(0),
+        stream.latestOffset())
+      assert(parts.length == 2)
+      // the whole point: tasks ship a reference, not multi-MB frame bytes
+      parts.foreach { p =>
+        val fp = p.asInstanceOf[FramePartition]
+        assert(fp.payload == null, "durable partition must not carry bytes")
+        assert(fp.path != null && JFiles.exists(Paths.get(fp.path)))
+      }
+      // executor-side decode straight from the spill file
+      val reader = stream.createReaderFactory().createReader(parts(0))
+      assert(reader.next())
+      assert(reader.get().numFields == 5)
+      // commit = processed: spilled files are reclaimed
+      stream.commit(stream.latestOffset())
+      parts.foreach(p => assert(!JFiles.exists(
+        Paths.get(p.asInstanceOf[FramePartition].path))))
+    } finally stream.stop()
   }
 
   test("garbage handshake closes the connection; server keeps serving") {
