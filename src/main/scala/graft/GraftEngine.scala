@@ -26,6 +26,9 @@ class GraftEngine(val spark: SparkSession, watchStorePath: String) {
     store.addWatch(sourceName, ra, dec, author = author,
       watchMode = watchMode, patchType = patchType, duration = duration)
 
+  /** C5: register a watch straight from an IVOA VOEvent 2.0 document. */
+  def addVoeventWatch(xml: String): Long = store.addVoeventWatch(xml)
+
   /** C2: the current active watchlist. */
   def watchlist(): DataFrame = store.watchlist()
 
@@ -89,6 +92,10 @@ object Cli {
           patchType = opts.getOrElse("patch", "3x3"),
           duration = opts.getOrElse("duration", "7d"))
         println(s"added watch id=$id")
+      case Some("watch-voevent") =>
+        val xml = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(opts("file"))), "UTF-8")
+        println(s"added watch id=${engine.addVoeventWatch(xml)}")
       case Some("watchlist") =>
         engine.watchlistJson().foreach(println)
       case Some("serve") =>
@@ -104,6 +111,7 @@ object Cli {
           s"""usage: graft.Cli <command> [--opt value ...]
              |  watch     --name N --ra R --dec D [--mode continuous|timed]
              |            [--patch 3x3|5] [--duration 7d] [--author A]
+             |  watch-voevent --file VOEVENT_XML
              |  watchlist
              |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)

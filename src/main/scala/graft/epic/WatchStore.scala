@@ -88,6 +88,25 @@ class WatchStore(spark: SparkSession, path: String) {
     } finally existing.unpersist()
   }
 
+  /** C5: VOEvent intake — parse the IVOA VOEvent 2.0 XML, derive the watch
+    * (position from WhereWhen, identity from Why/ivorn, event type from
+    * the Concept), and store the raw XML in the voevent column like the
+    * reference's table (pg_pixel_storage.py:74). The reference's handler
+    * raises NotImplementedError (watch_dog.py:139-142); this implements
+    * the published standard instead. */
+  def addVoeventWatch(xml: String,
+      author: String = "voevent",
+      watchMode: String = "continuous",
+      patchType: String = "3x3",
+      duration: String = "7d",
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    val v = VoEvent.parse(xml)
+    addWatch(v.name, v.ra.toString, v.dec.toString, author = author,
+      reason = (s"VOEvent ${v.ivorn}").trim,
+      watchMode = watchMode, patchType = patchType, duration = duration,
+      eventType = v.concept, voevent = xml, now = now)
+  }
+
   /** M2: flip expired watches (t_end ≤ now, still 'watching') to 'watched';
     * returns how many flipped. The reference runs this on a 5 s scheduler
     * (M3); the streaming runner calls it once per micro-batch instead. */
