@@ -35,4 +35,17 @@ object EventWindows {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_type", "user_id")
       .select(col("event_type"), col("user_id"), col("ts"))
+
+  /** Streaming sessionization — the streaming form of batch query Q21:
+    * `session_window` keeps ONE open (merging) session per user in state,
+    * closes it when the watermark passes its end + gap, and emits exactly
+    * once (append mode). State is O(active users), not O(events). */
+  def sessions(events: DataFrame, gap: String = "12 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"), col("last_ts"))
 }

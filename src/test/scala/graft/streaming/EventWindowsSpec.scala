@@ -46,6 +46,61 @@ class EventWindowsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessions close on watermark passage (q21's stream form)") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark, 1)
+    val q = EventWindows.sessions(mem.toDF(),
+      gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // user 100: events at 10:01 and 10:03 — one session [10:01, 10:13)
+    mem.addData(Ev(1, ts(1), 100, "click", 1.0),
+      Ev(2, ts(3), 100, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open
+    // event far ahead closes it: watermark 10:55 > 10:03 + 10 min gap
+    mem.addData(Ev(3, ts(59), 101, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("user_id") == 100L)
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Timestamp]("s_start") == ts(1))
+    q.stop()
+  }
+
+  test("transient detector flags z-score outliers against running state") {
+    import spark.implicits._
+    import TransientDetector.Obs
+    val mem = MemoryStream[Obs](spark, 1)
+    val q = TransientDetector.detect(mem.toDS(),
+      zThreshold = 5.0, minBaseline = 5)
+      .writeStream.format("memory").queryName("transients")
+      .outputMode("append").start()
+    // batch 1: a quiet baseline for pixel A (slight jitter → nonzero sd)
+    mem.addData((1 to 6).map(i =>
+      Obs("srcA:(32,32)", ts(i), 1.0 + 0.01 * (i % 2))): _*)
+    q.processAllAvailable()
+    assert(spark.table("transients").count() == 0)
+    // batch 2: the baseline CARRIES ACROSS batches (flatMapGroupsWithState
+    // state, not per-batch agg) — a 100× spike on A is flagged, pixel B has
+    // no baseline yet so its identical value is not
+    mem.addData(Obs("srcA:(32,32)", ts(10), 100.0),
+      Obs("srcB:(05,05)", ts(10), 100.0))
+    q.processAllAvailable()
+    val hits = spark.table("transients").collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("key") == "srcA:(32,32)")
+    assert(hits.head.getAs[Double]("z") > 5.0)
+    assert(hits.head.getAs[Long]("n_baseline") == 6L)
+    // batch 3: the spike folded into the baseline (higher mean/sd) — a
+    // normal value afterwards is still not flagged
+    mem.addData(Obs("srcA:(32,32)", ts(11), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("transients").count() == 1)
+    q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per (type, user)") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark, 1)
