@@ -45,14 +45,17 @@ object Bench {
       numPartitions = cpus.toInt).write.parquet(s"$tmp/images")
     val images = spark.read.parquet(s"$tmp/images")
     val watch = ImageFixtures.watchlistDf(spark)
-    // untimed warm-up batch: pays one-time codegen compilation like the
-    // first micro-batch of a streaming query; steady state is what we rate.
-    // Then 3 timed batches — the median is the headline (single cold runs
-    // on a shared host vary ~2×; the recorded baseline must be the number
-    // an independent run reproduces).
-    val (wpx, wmeta) = EpicPipeline.pixelsAndMeta(images, watch)
-    wpx.write.parquet(s"$tmp/warm_px")
-    wmeta.write.parquet(s"$tmp/warm_meta")
+    // untimed warm-up batches: pay one-time codegen/JIT/page-cache costs
+    // like the first micro-batches of a streaming query; steady state is
+    // what we rate (a streaming service runs this pipeline every trigger
+    // for hours). Two warm-ups, because measured run-to-run spread showed
+    // the first timed batch still absorbing JIT. Then 3 timed batches —
+    // the median is the headline, the spread is reported alongside.
+    for (w <- 1 to 2) {
+      val (wpx, wmeta) = EpicPipeline.pixelsAndMeta(images, watch)
+      wpx.write.parquet(s"$tmp/warm_px_$w")
+      wmeta.write.parquet(s"$tmp/warm_meta_$w")
+    }
     val runs = (1 to 3).map { r =>
       val t0 = System.nanoTime()
       val (px, meta) = EpicPipeline.pixelsAndMeta(images, watch)
