@@ -58,8 +58,14 @@ object LlmQueries {
     * per-doc cardinalities) are identical with or without pruning. */
   private def jaccardPairs(fp0: DataFrame,
       candDocs: Option[DataFrame] = None): DataFrame = {
-    val df = fp0.groupBy(col("f")).agg(count(lit(1)).as("d"))
-    val fpAll = fp0.join(df.where(col("d") <= MaxDocFreq).select(col("f")), "f")
+    // df cap as a count-over-window keyed on f: ONE shuffle of fp0 by f,
+    // no separate frequency aggregate + join-back (which would rescan and
+    // reshuffle the fingerprint set), and the windowed output comes out
+    // hash-partitioned by f — exactly what the self-join below needs.
+    val fpAll = fp0
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("f"))))
+      .where(col("d") <= MaxDocFreq)
+      .drop("d")
     val fp = candDocs.fold(fpAll)(cd =>
       fpAll.join(cd, Seq("doc_id"), "left_semi"))
     val card = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
