@@ -29,6 +29,13 @@ class WatchStore(spark: SparkSession, path: String) {
 
   import WatchStore._
 
+  /** All mutations serialize on a JVM-wide per-path lock: the socket
+    * server handles each watch RPC on its own connection thread with its
+    * own WatchStore instance, and an unserialized read→union→write would
+    * lose one of two concurrent adds. (The reference gets this from DB
+    * transactions; a parquet store must bring its own mutual exclusion.) */
+  private val mutationLock = lockFor(path)
+
   /** All rows regardless of status. */
   def listAll(): DataFrame =
     try spark.read.schema(schema).parquet(path)
@@ -55,7 +62,8 @@ class WatchStore(spark: SparkSession, path: String) {
       duration: String = "7d",
       eventType: String = "Manual trigger",
       voevent: String = "",
-      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+      now: Timestamp = new Timestamp(System.currentTimeMillis())): Long =
+      mutationLock.synchronized {
     require(sourceName != null && sourceName.nonEmpty, "source_name required")
     require(Set("continuous", "timed").contains(watchMode),
       s"bad watch_mode: $watchMode")
@@ -110,7 +118,8 @@ class WatchStore(spark: SparkSession, path: String) {
   /** M2: flip expired watches (t_end ≤ now, still 'watching') to 'watched';
     * returns how many flipped. The reference runs this on a 5 s scheduler
     * (M3); the streaming runner calls it once per micro-batch instead. */
-  def expireDue(now: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+  def expireDue(now: Timestamp = new Timestamp(System.currentTimeMillis())): Long =
+      mutationLock.synchronized {
     val all = listAll().cache()
     try {
       val due = all.where(col("watch_status") === "watching" &&
@@ -134,6 +143,11 @@ class WatchStore(spark: SparkSession, path: String) {
 }
 
 object WatchStore {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+
   /** epic_watchdog schema (sql_scripts/create_pixel_tables.sql:36-51),
     * voevent kept as opaque XML text (SURVEY §1.2). */
   val schema: StructType = StructType(Seq(

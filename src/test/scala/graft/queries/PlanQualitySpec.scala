@@ -45,8 +45,9 @@ class PlanQualitySpec extends SparkSpec {
       "expected partial aggregate under the shuffle")
   }
 
-  test("D03/D04: dedup candidate joins are equi-joins, never all-pairs") {
-    for (q <- Seq("d03_dedup_minhash_lsh", "d04_dedup_simhash")) {
+  test("D03/D04/S02: candidate joins are equi-joins, never all-pairs") {
+    for (q <- Seq("d03_dedup_minhash_lsh", "d04_dedup_simhash",
+        "s02_ann_lsh_topk")) {
       val plan = planOf(LlmQueries.all(q)(spark, sf0001))
       assert(!plan.contains("CartesianProduct"),
         s"$q plans a cartesian:\n$plan")

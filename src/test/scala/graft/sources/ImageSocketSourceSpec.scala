@@ -139,6 +139,38 @@ class ImageSocketSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("integrity check failed"))
   }
 
+  test("concurrent watch RPCs serialize: no adds lost, ids unique") {
+    val dir = Files.createTempDirectory("epicconc").toString
+    val sock = s"$dir/epic.sock"
+    val wl = s"$dir/wl"
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).option("watchStorePath", wl).load()
+    val q = images.select(col("dtype"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/rows").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    Thread.sleep(500)
+    // 6 adds from 6 client threads at once — the store's per-path lock
+    // must serialize the read-union-write cycles (a lost update here
+    // would silently drop a watch)
+    val threads = (1 to 6).map { i =>
+      val t = new Thread(() => {
+        val r = ImageSocketClient.sendWatchUds(sock,
+          s"""{"source_name":"src_$i","ra":"${100 + i}.0","dec":"10.0"}""")
+        assert(r.startsWith("""{"id":"""), r)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    q.stop()
+    val store = new graft.epic.WatchStore(spark, wl)
+    val rows = store.listAll().collect()
+    assert(rows.length == 6, s"lost adds: only ${rows.length}/6 present")
+    assert(rows.map(_.getAs[Long]("id")).toSet.size == 6, "duplicate ids")
+    assert(rows.map(_.getAs[String]("source_name")).toSet ==
+      (1 to 6).map(i => s"src_$i").toSet)
+  }
+
   test("durable mode: partitions carry spill paths, never payload bytes") {
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files => JFiles, Paths}
