@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Floor, Least, Literal, Subtract, Add}
+import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression, ExpressionInfo, Floor, Least, Literal, Multiply, Sqrt, Subtract}
 
 /** SparkSessionExtensions wiring for the engine's custom expressions, so
   * SQL users get them too:
@@ -14,27 +14,60 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Fl
   * ...
   * spark.sql("SELECT strided_gather(image, 16, y, x, 64, 64) FROM cubes")
   * spark.sql("SELECT nearest_pix(33.5)")
+  * spark.sql("SELECT fingerprint(text), cosine_sim(a.v, b.v) ...")
   * }}}
+  *
+  * For a session that already exists (extensions only apply at build
+  * time), `GraftExtensions.register(spark)` adds the same functions to
+  * its live registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("strided_gather"),
-      new ExpressionInfo(classOf[StridedGather].getName, "strided_gather"),
-      (args: Seq[Expression]) => {
-        require(args.length == 6,
-          "strided_gather(image, planes, y, x, ydim, xdim)")
-        StridedGather(args(0), args(1), args(2), args(3), args(4), args(5))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("nearest_pix"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "nearest_pix"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "nearest_pix(p)")
-        val p = args.head
-        // floor(p + least(p - floor(p), 0.5)) — watch_dog.py:281-286
-        Floor(Add(p, Least(Seq(Subtract(p, Floor(p)), Literal(0.5d)))))
-      }))
-  }
+object GraftExtensions {
+
+  /** Every SQL function the engine contributes — the same codegen
+    * expressions the DataFrame surface uses, so SQL results replay in the
+    * DuckDB oracle bit-for-bit. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strided_gather" -> ((args: Seq[Expression]) => {
+      require(args.length == 6,
+        "strided_gather(image, planes, y, x, ydim, xdim)")
+      StridedGather(args(0), args(1), args(2), args(3), args(4), args(5))
+    }),
+    "nearest_pix" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "nearest_pix(p)")
+      val p = args.head
+      // floor(p + least(p - floor(p), 0.5)) — watch_dog.py:281-286
+      Floor(Add(p, Least(Seq(Subtract(p, Floor(p)), Literal(0.5d)))))
+    }),
+    "fingerprint" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "fingerprint(text)")
+      PolyHash(args.head)
+    }),
+    "dot_product" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "dot_product(a, b)")
+      DotProduct(args(0), args(1))
+    }),
+    "cosine_sim" -> ((args: Seq[Expression]) => {
+      require(args.length == 2, "cosine_sim(a, b)")
+      val (a, b) = (args(0), args(1))
+      Divide(DotProduct(a, b),
+        Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    }))
+
+  /** Register into a live session's function registry (the extensions
+    * mechanism only applies while the session is being built). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder)
+    }
 }

@@ -1,8 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Floor, Least, Literal, Subtract, Add}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
@@ -48,22 +46,10 @@ class StridedGatherSpec extends SparkSpec {
 
   test("functions resolve in SQL once registered (extensions builders)") {
     // GraftExtensions wires these same builders via injectFunction at
-    // session build; here we register them into the live session's registry
-    // (a session already exists JVM-wide, so withExtensions can't apply).
+    // session build; a session already exists JVM-wide here, so use the
+    // live-registry path (same builder list either way).
     new GraftExtensions().apply(new SparkSessionExtensions) // wiring sanity
-    val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("strided_gather"),
-      new ExpressionInfo(classOf[StridedGather].getName, "strided_gather"),
-      (args: Seq[Expression]) =>
-        StridedGather(args(0), args(1), args(2), args(3), args(4), args(5)))
-    reg.registerFunction(
-      new FunctionIdentifier("nearest_pix"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "nearest_pix"),
-      (args: Seq[Expression]) => {
-        val p = args.head
-        Floor(Add(p, Least(Seq(Subtract(p, Floor(p)), Literal(0.5d)))))
-      })
+    GraftExtensions.register(spark)
     val viaSql = spark.sql(
       "SELECT strided_gather(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)," +
         " CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 2, 0, 1, 1, 2)")
@@ -73,5 +59,14 @@ class StridedGatherSpec extends SparkSpec {
       .head.getAs[Number](0).doubleValue() == 34.0)
     assert(spark.sql("SELECT nearest_pix(CAST(-0.5 AS DOUBLE))").collect()
       .head.getAs[Number](0).doubleValue() == 0.0)
+    // text/similarity kernels: same arithmetic as the DataFrame surface
+    assert(spark.sql("SELECT fingerprint('ab')").collect().head.getLong(0)
+      == (97L * 31 + 98) % 1000000007L)
+    assert(spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0) == 11.0)
+    assert(math.abs(spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .collect().head.getDouble(0) - 1.0) < 1e-12)
   }
 }
