@@ -290,6 +290,58 @@ object LlmQueries {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** S03: IVF-bucketed ANN — the inverted-file scale path next to S02's
+    * hyperplane LSH. Deterministic coarse quantizer: the K lowest-id
+    * vectors act as centroids (replayable in SQL — no iterative k-means);
+    * every vector joins its argmax-cosine centroid's list (ties → lowest
+    * centroid id), queries probe their nProbe nearest lists only.
+    *
+    * Scale shape: centroids broadcast (K rows); assignment is one
+    * broadcast pass over the corpus; the search join is an equi-join on
+    * the list id, so the corpus shuffles once by list and each query
+    * scans K/nProbe-th of the data. Recall < exact by design — s01 is the
+    * accuracy baseline. */
+  def s03AnnIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val nProbe = 2
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // cosine to every centroid (rounded to 6 like all oracle sims, so
+    // tie-breaks resolve identically in Spark and DuckDB)
+    val toCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = toCent
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        row_number().over(wAsg).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = toCent.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cid"), row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("csim").desc, col("cid"))).as("rn"))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cid"))
+    val scored = probes.join(assigned,
+        probes("cid") === assigned("cid") && col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
   // ---- array aggregate (A3) ---------------------------------------------
 
   /** A01: element-wise array sum via the ArrayElementSum Aggregator —
@@ -360,6 +412,7 @@ object LlmQueries {
     "d05_dedup_embed_cosine" -> (d05EmbedNearDup _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
+    "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -519,6 +572,39 @@ object LlmQueries {
          |         AS INTEGER) rk FROM scored)
          |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
          |ORDER BY q, rk""".stripMargin,
+    "s03_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent) t WHERE rn = 1),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id < 10) t WHERE rn <= 2),
+        |scored AS (SELECT p.q, a.vec_id nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
+        |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
+        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
+        |ranked AS (SELECT q, nb, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+        |         AS INTEGER) rk FROM scored)
+        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+        |ORDER BY q, rk""".stripMargin,
     "a01_array_element_sum" ->
       """WITH arrs AS (SELECT l_returnflag,
         |    list_slice([l_quantity, CAST(l_linenumber AS DOUBLE),

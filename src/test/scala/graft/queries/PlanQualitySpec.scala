@@ -56,6 +56,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("S03 IVF: centroids broadcast; list search is never a cartesian") {
+    val plan = planOf(LlmQueries.all("s03_ann_ivf_topk")(spark, sf0001))
+    // the K-row centroid scoring pass must broadcast (a K-bounded
+    // nested-loop against a broadcast side is the intended IVF shape);
+    // the probe→list search join must not degenerate to a cartesian
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("EPIC ingest: watchlist broadcasts; pixel path has no shuffle") {
     val images = ImageFixtures.imagesBinaryDf(spark,
       Seq("2022-08-31T23:29:10.000000"))
