@@ -92,6 +92,31 @@ class EpicStreamingSpec extends SparkSpec {
     store.addWatch("center", "180.0", "34.0")
   }
 
+  test("restart from checkpoint: committed batches are not reprocessed") {
+    import spark.implicits._
+    val store = new WatchStore(spark, tmp("watch") + "/wl")
+    val out = tmp("out")
+    val ckpt = tmp("ckpt")
+    store.addWatch("center", "180.0", "34.0", patchType = "3x3")
+    val mem = MemoryStream[ImageRecord](spark, 1)
+    mem.addData(record("2022-08-31T23:29:10.000000"))
+    val q1 = EpicStreaming.start(mem.toDF(), store, out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(pixelCount(out) == 9L && metaCount(out) == 1L)
+    // second run, SAME checkpoint: the first batch's offsets are
+    // committed, so only the new frame is processed — no duplicate
+    // pixel/metadata rows from batch replay
+    mem.addData(record("2022-08-31T23:29:11.000000"))
+    val q2 = EpicStreaming.start(mem.toDF(), store, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(pixelCount(out) == 18L, "batch replayed or lost after restart")
+    assert(metaCount(out) == 2L)
+    assert(spark.read.parquet(s"$out/epic_img_metadata")
+      .select("id").distinct().count() == 2L)
+  }
+
   test("end-to-end MemoryStream run through EpicStreaming.start") {
     import spark.implicits._
     val store = new WatchStore(spark, tmp("watch") + "/wl")
