@@ -35,6 +35,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("Q10: rank<=k filter pushes down as WindowGroupLimit") {
+    // partial per-group top-k runs below the shuffle, so each group
+    // buffers k rows instead of its full partition at 100 TB
+    val plan = planOf(RelationalQueries.q10(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("Q07: aggregation is partial (map-side combine before the shuffle)") {
     val plan = planOf(RelationalQueries.q07(spark, sf0001))
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"))
