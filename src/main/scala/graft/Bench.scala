@@ -26,10 +26,18 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").count()
 
+    // (name, seconds, ok): a query that throws is recorded as ok=false so
+    // a crash can never read as a fast run — the failure is visible in the
+    // JSON ("errors" list + per-query flag) and total excludes it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
     // EPIC ingest throughput: one micro-batch of reference-shaped cubes
@@ -68,11 +76,18 @@ object Bench {
     require(nPx > 0 &&
       spark.read.parquet(s"$tmp/epic_img_metadata_1").count() == nImages)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // "queries" stays flat name→sec (the driver-contract shape);
+    // per-query success lands in "queries_ok" + the "errors" list
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_ok":$oks,"errors":$errors,""" +
       s""""images_per_sec":$imagesPerSec,""" +
       s""""images_per_sec_runs":${runs.mkString("[", ",", "]")},""" +
       s""""pipeline_images":$nImages,""" +

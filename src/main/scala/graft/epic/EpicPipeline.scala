@@ -211,31 +211,23 @@ object EpicPipeline {
         pixelInFov(col("cx") + o.getField("dx"),
           col("cy") + o.getField("dy"))))
 
-    // J3: strided pixel gather, evaluated per patch while the row count is
-    // still one-per-(image, source) — flat offset into the row-major
+    // J3: whole-patch pixel gather, evaluated per patch while the row count
+    // is still one-per-(image, source) — flat offset into the row-major
     // [complex, npol, nchan, y, x] cube is (k·ydim + py)·xdim + px for
-    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455); the codegen'd
-    // StridedGather kernel runs inside a transform over the offsets array.
+    // k = (c·npol + p)·nchan + ch (watch_dog.py:442-455). One PatchGather
+    // call per row binds the cube ONCE and emits the full n² grid (a
+    // per-pixel StridedGather inside a transform() lambda re-copied the
+    // multi-MB blob per offset — ~12 GB of garbage per 256-image batch).
+    // The OptimizerFence stops InferFiltersFromGenerate from cloning the
+    // gather into a pre-explode `size(…) > 0` guard (see its scaladoc).
     // CRITICAL layout decision: the multi-MB `image` column is dropped
     // BEFORE the explode — exploding first would replicate the whole cube
     // into every one of the n² pixel rows (observed 6× slowdown).
     val planes = (lit(2) * col("n_pol") * col("n_chan")).cast(IntegerType)
-    // The `when(monotonically_increasing_id() >= 0, …)` wrapper is a
-    // no-op value-wise but marks the projection non-deterministic, which
-    // stops InferFiltersFromGenerate's `size(pixel_data) > 0` guard from
-    // being substituted through it into the join condition — without the
-    // barrier the optimizer clones the whole gather expression into the
-    // join filter, evaluating every patch gather twice (once before the
-    // FOV filters) and bloating whole-stage codegen by ~10×.
     val gatheredPatch = kept
-      .withColumn("pixel_data", when(monotonically_increasing_id() >= 0,
-        transform(offsets, o => struct(
-          o.getField("dx").as("dx"),
-          o.getField("dy").as("dy"),
-          graft.plans.StridedGather(col("image"), planes,
-            (col("cy") + o.getField("dy")).cast(IntegerType),
-            (col("cx") + o.getField("dx")).cast(IntegerType),
-            col("ydim"), col("xdim")).as("values")))))
+      .withColumn("pixel_data", graft.plans.OptimizerFence(
+        graft.plans.PatchGather(col("image"), planes,
+          col("cy"), col("cx"), half, col("ydim"), col("xdim"))))
       .drop("image")
 
     // explode the (offset, values) structs; per-pixel sky position for the

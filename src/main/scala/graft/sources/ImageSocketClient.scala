@@ -59,6 +59,40 @@ object ImageSocketClient {
     try send(ch, payload, chunkSize) finally ch.close()
   }
 
+  /** Read the server's 7-byte `proceed` go-ahead. `readFully` loops over
+    * partial reads, so a TCP-fragmented reply can't spuriously fail the
+    * check the way a single read() would. */
+  private def awaitProceed(in: DataInputStream): Unit = {
+    val reply = new Array[Byte]("proceed".length)
+    try in.readFully(reply)
+    catch { case _: java.io.EOFException =>
+      throw new IllegalStateException("handshake rejected: connection closed")
+    }
+    val r = new String(reply, StandardCharsets.UTF_8)
+    require(r == "proceed", s"handshake rejected: '$r'")
+  }
+
+  /** Accumulate reply bytes until they parse as one complete JSON value
+    * (the server keeps the connection open for further requests, so EOF
+    * cannot delimit the reply; fragmentation-safe unlike a single read). */
+  private def readJsonReply(in: DataInputStream, maxBytes: Int = 1 << 20): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](4096)
+    while (buf.size() < maxBytes) {
+      val n = in.read(chunk)
+      require(n > 0 || buf.size() > 0, "no reply")
+      if (n > 0) buf.write(chunk, 0, n)
+      val s = buf.toString("UTF-8")
+      try {
+        if (mapper.readTree(s) != null) return s
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => // incomplete
+      }
+      if (n <= 0) return s // EOF with unparseable buffer: surface as-is
+    }
+    buf.toString("UTF-8")
+  }
+
   private def send(ch: SocketChannel, payload: Array[Byte],
       chunkSize: Int): Unit = {
     val out = new DataOutputStream(Channels.newOutputStream(ch))
@@ -66,10 +100,7 @@ object ImageSocketClient {
     out.write(s"""["epic_image", ${payload.length}]"""
       .getBytes(StandardCharsets.UTF_8))
     out.flush()
-    val reply = new Array[Byte](16)
-    val n = in.read(reply)
-    val r = new String(reply, 0, math.max(n, 0), StandardCharsets.UTF_8)
-    require(r == "proceed", s"handshake rejected: '$r'")
+    awaitProceed(in)
     var off = 0
     while (off < payload.length) {
       val len = math.min(chunkSize, payload.length - off)
@@ -101,15 +132,32 @@ object ImageSocketClient {
     out.write(s"""["watch_source", ${payload.length}]"""
       .getBytes(StandardCharsets.UTF_8))
     out.flush()
-    val reply = new Array[Byte](16)
-    val n = in.read(reply)
-    val r = new String(reply, 0, math.max(n, 0), StandardCharsets.UTF_8)
-    require(r == "proceed", s"handshake rejected: '$r'")
+    awaitProceed(in)
     out.write(payload)
     out.flush()
-    val resp = new Array[Byte](4096)
-    val m = in.read(resp)
-    require(m > 0, "no reply to watch_source")
-    new String(resp, 0, m, StandardCharsets.UTF_8)
+    readJsonReply(in)
+  }
+
+  /** C2 remote form: fetch the active watchlist over the same socket
+    * (reference client shape: test_esp_client.py:6-10). Returns the
+    * server's JSON array of watchlist rows. */
+  def fetchWatchlistUds(socketPath: String): String = {
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(socketPath))
+    try fetchWatchlist(ch) finally ch.close()
+  }
+
+  def fetchWatchlistTcp(host: String, port: Int): String = {
+    val ch = SocketChannel.open(new InetSocketAddress(host, port))
+    try fetchWatchlist(ch) finally ch.close()
+  }
+
+  private def fetchWatchlist(ch: SocketChannel): String = {
+    val out = new DataOutputStream(Channels.newOutputStream(ch))
+    val in = new DataInputStream(Channels.newInputStream(ch))
+    out.write("""["fetch_watchlist", 0]""".getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    awaitProceed(in)
+    readJsonReply(in)
   }
 }

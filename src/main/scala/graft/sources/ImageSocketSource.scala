@@ -66,22 +66,40 @@ import graft.epic.EpicPipeline
 class ImageSocketSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "epic-socket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EpicPipeline.imageSchema
+    if (ImageSocketSourceProvider.binaryDecode(options))
+      EpicPipeline.imageBinarySchema
+    else EpicPipeline.imageSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ImageSocketTable(properties)
 }
 
+object ImageSocketSourceProvider {
+  /** `decode=binary` keeps the cube a raw little-endian float32 blob all
+    * the way to the gather (EpicPipeline.imageBinarySchema) — the decode
+    * is then ONE arraycopy of the payload tail instead of a per-element
+    * assembly of ~360k floats per frame, and StridedGather/PatchGather
+    * read the blob natively. This is the cluster-rate path; `decode=array`
+    * (default) matches the reference's in-memory layout. */
+  def binaryDecode(options: CaseInsensitiveStringMap): Boolean =
+    options.getOrDefault("decode", "array") == "binary"
+}
+
 class ImageSocketTable(props: util.Map[String, String])
     extends Table with SupportsRead {
+  private val opts = new CaseInsensitiveStringMap(props)
+  private def tableSchema: StructType =
+    if (ImageSocketSourceProvider.binaryDecode(opts))
+      EpicPipeline.imageBinarySchema
+    else EpicPipeline.imageSchema
   override def name(): String = "epic-socket"
-  override def schema(): StructType = EpicPipeline.imageSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = EpicPipeline.imageSchema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ImageSocketMicroBatchStream(options)
       }
@@ -125,6 +143,7 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     * inline default matches Spark's own socket source and is for tests
     * and single-node runs. */
   private val spillDir = options.getOrDefault("spillDir", "")
+  private val binaryDecode = ImageSocketSourceProvider.binaryDecode(options)
 
   /** Buffered frame: inline bytes (default) or a spill path (durable). */
   private case class FrameRef(payload: Array[Byte], path: String)
@@ -132,6 +151,11 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val frames = new ArrayBuffer[FrameRef]()
   private var baseOffset = 0L // offset of frames(0)
   private var spillSeq = 0L   // monotonically-increasing spill file id
+  /** Per-run prefix for spill files: a restarted stream must not collide
+    * with (or silently alias) leftover frame files from a previous run
+    * whose sequence counter also started at 0. */
+  private val spillRunId =
+    java.util.UUID.randomUUID().toString.take(8)
   private val running = new AtomicBoolean(true)
   private val lock = new Object
 
@@ -167,21 +191,50 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
 
+  /** Accumulate handshake bytes until they parse as complete JSON — the
+    * wire format stays the reference's bare JSON handshake (no length
+    * prefix), but unlike its single `recv(1024)` a TCP-fragmented write
+    * can no longer fail the parse: partial JSON keeps reading, garbage
+    * hits the 1 KiB cap and raises. Returns null on clean EOF. */
+  private def readHandshake(in: DataInputStream): JsonNode = {
+    val buf = new Array[Byte](1024)
+    var off = 0
+    while (true) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n <= 0) {
+        if (off == 0) return null // clean close between requests
+        throw new IllegalArgumentException(
+          s"bad handshake: ${new String(buf, 0, off, StandardCharsets.UTF_8)}")
+      }
+      off += n
+      try {
+        val node = ImageFrameDecoder.mapper.readTree(
+          new String(buf, 0, off, StandardCharsets.UTF_8))
+        if (node != null && node.isArray && node.size() == 2) return node
+        // complete JSON but the wrong shape (or a partial parse that
+        // happened to succeed, e.g. a bare number): if the buffer is
+        // full it will never become valid
+        if (off >= buf.length) throw new IllegalArgumentException(
+          s"bad handshake: ${new String(buf, 0, off, StandardCharsets.UTF_8)}")
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          if (off >= buf.length) throw new IllegalArgumentException(
+            "bad handshake: not JSON within 1024 bytes")
+        // else: incomplete JSON — keep reading
+      }
+    }
+    null // unreachable
+  }
+
   /** Two-phase handshake + exact-length receive (uds_server.py:221-281). */
   private def handle(conn: SocketChannel): Unit = {
     try {
       val in = new DataInputStream(Channels.newInputStream(conn))
       val out = new DataOutputStream(Channels.newOutputStream(conn))
       while (running.get()) {
-        // phase 1: handshake json (single short read like the reference's
-        // recv(1024); we read a length-prefixed line for robustness)
-        val hs = new Array[Byte](1024)
-        val n = in.read(hs)
-        if (n <= 0) return
-        val handshake = new String(hs, 0, n, StandardCharsets.UTF_8)
-        val node = ImageFrameDecoder.mapper.readTree(handshake)
-        require(node.isArray && node.size() == 2,
-          s"bad handshake: $handshake")
+        // phase 1: handshake json `[processor, payload_size]`
+        val node = readHandshake(in)
+        if (node == null) return
         val processor = node.get(0).asText()
         val size = node.get(1).asLong()
         processor match {
@@ -208,6 +261,17 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
             in.readFully(payload)
             out.write(handleWatch(payload).getBytes(StandardCharsets.UTF_8))
             out.flush()
+          case "fetch_watchlist" =>
+            require(watchStorePath.nonEmpty,
+              "fetch_watchlist disabled: source started without watchStorePath")
+            out.write("proceed".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            if (size > 0) { // optional (ignored) options payload
+              val payload = new Array[Byte](size.toInt)
+              in.readFully(payload)
+            }
+            out.write(handleFetchWatchlist().getBytes(StandardCharsets.UTF_8))
+            out.flush()
           case other =>
             throw new IllegalArgumentException(s"unknown processor: $other")
         }
@@ -223,8 +287,8 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     val seq = lock.synchronized { spillSeq += 1; spillSeq }
     val dir = Paths.get(spillDir)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".frame-$seq.tmp")
-    val dst = dir.resolve(s"frame-$seq.bin")
+    val tmp = dir.resolve(s".frame-$spillRunId-$seq.tmp")
+    val dst = dir.resolve(s"frame-$spillRunId-$seq.bin")
     Files.write(tmp, payload)
     Files.move(tmp, dst,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -266,6 +330,26 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
 
+  /** Remote `fetch_watchlist` RPC (C2 remote form; the reference serves it
+    * on the same RPC surface as images and watch adds, server.py:54-55 /
+    * test_esp_client.py:6-10): reply is a JSON array of the active
+    * watchlist rows — the same rows `GraftEngine.watchlistJson` returns
+    * locally. Control-plane read, driver-side by design. */
+  private def handleFetchWatchlist(): String = {
+    try {
+      val spark = org.apache.spark.sql.SparkSession.getDefaultSession
+        .getOrElse(throw new IllegalStateException("no SparkSession"))
+      val store = new graft.epic.WatchStore(spark, watchStorePath)
+      store.watchlist().toJSON.collect().mkString("[", ",", "]")
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").take(500)
+        s"""{"error":"$msg"}"""
+    }
+  }
+
   override def initialOffset(): Offset = FrameOffset(0L)
 
   override def latestOffset(): Offset = lock.synchronized {
@@ -287,13 +371,17 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // local val: the anonymous factory must not capture `this` (the
+    // stream holds a non-serializable ServerSocketChannel)
+    val binary = binaryDecode
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[FramePartition]
-        new ImageFrameReader(p.payload, p.path)
+        new ImageFrameReader(p.payload, p.path, binary)
       }
     }
+  }
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameOffset].n
@@ -324,7 +412,8 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   * uds_server.py:84-120's epic_image_p. In durable mode (`path` set) the
   * executor reads the spilled bytes itself — the task carried only the
   * path. */
-class ImageFrameReader(payload: Array[Byte], path: String = null)
+class ImageFrameReader(payload: Array[Byte], path: String = null,
+    binary: Boolean = false)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
@@ -334,7 +423,9 @@ class ImageFrameReader(payload: Array[Byte], path: String = null)
     val bytes =
       if (payload != null) payload
       else Files.readAllBytes(Paths.get(path))
-    row = ImageFrameDecoder.decode(bytes)
+    row =
+      if (binary) ImageFrameDecoder.decodeBinary(bytes)
+      else ImageFrameDecoder.decode(bytes)
     done = true
     true
   }
@@ -360,9 +451,10 @@ object ImageFrameDecoder {
       new GenericArrayData(vals.toArray[Any]))
   }
 
-  /** payload = 4-byte BE header length · header JSON
-    * `[primary{}, img{}, {dtype,shape}]` · float32 LE cube. */
-  def decode(payload: Array[Byte]): InternalRow = {
+  /** Parsed header prefix: (primary map, img map, dtype, shape,
+    * cube-bytes offset). Shared by both decode variants. */
+  private def parseHeader(payload: Array[Byte])
+      : (ArrayBasedMapData, ArrayBasedMapData, String, Seq[Int], Int) = {
     val buf = ByteBuffer.wrap(payload)
     val headerLen = buf.getInt
     val headerBytes = new Array[Byte](headerLen)
@@ -377,14 +469,25 @@ object ImageFrameDecoder {
     require(dtype == "float32", s"unsupported dtype: $dtype")
     val shapeNode = meta.get("shape")
     val shape = (0 until shapeNode.size()).map(shapeNode.get(_).asInt())
+    (primary, img, dtype, shape, 4 + headerLen)
+  }
 
-    val floatBuf = buf.slice().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
-    val n = floatBuf.remaining()
+  private def checkIntegrity(nFloats: Long, shape: Seq[Int]): Unit = {
     // integrity check: buffer size must equal prod(shape)
     // (uds_server.py:100-104 — fail the frame, don't store garbage)
     val expected = shape.map(_.toLong).product
-    require(n.toLong == expected,
-      s"integrity check failed: $n floats != prod(shape) $expected")
+    require(nFloats == expected,
+      s"integrity check failed: $nFloats floats != prod(shape) $expected")
+  }
+
+  /** payload = 4-byte BE header length · header JSON
+    * `[primary{}, img{}, {dtype,shape}]` · float32 LE cube. */
+  def decode(payload: Array[Byte]): InternalRow = {
+    val (primary, img, dtype, shape, cubeOff) = parseHeader(payload)
+    val floatBuf = ByteBuffer.wrap(payload, cubeOff, payload.length - cubeOff)
+      .slice().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val n = floatBuf.remaining()
+    checkIntegrity(n.toLong, shape)
     val image = new Array[Any](n)
     var i = 0
     while (i < n) { image(i) = floatBuf.get(i); i += 1 }
@@ -392,5 +495,19 @@ object ImageFrameDecoder {
     InternalRow(primary, img, UTF8String.fromString(dtype),
       new GenericArrayData(shape.toArray[Any]),
       new GenericArrayData(image))
+  }
+
+  /** Binary passthrough decode: identical header handling, but the cube
+    * stays the raw little-endian float32 blob — ONE arraycopy instead of a
+    * per-element assembly (at the reference shape, ~360k boxed floats per
+    * frame avoided; PatchGather reads the blob natively). Emits
+    * EpicPipeline.imageBinarySchema rows. */
+  def decodeBinary(payload: Array[Byte]): InternalRow = {
+    val (primary, img, dtype, shape, cubeOff) = parseHeader(payload)
+    val nBytes = payload.length - cubeOff
+    checkIntegrity(nBytes.toLong / 4L, shape)
+    val blob = java.util.Arrays.copyOfRange(payload, cubeOff, payload.length)
+    InternalRow(primary, img, UTF8String.fromString(dtype),
+      new GenericArrayData(shape.toArray[Any]), blob)
   }
 }

@@ -95,6 +95,22 @@ class PlanQualitySpec extends SparkSpec {
       ImageFixtures.watchlistDf(spark))
     val analyzed = meta.queryExecution.optimizedPlan.toString
     // metadata derives pre-explode and must never touch the cube bytes
-    assert(!analyzed.contains("stridedgather"))
+    assert(!analyzed.contains("patchgather") &&
+      !analyzed.contains("stridedgather"))
+  }
+
+  test("EPIC ingest: exactly one gather per patch, behind a named fence") {
+    val images = ImageFixtures.imagesBinaryDf(spark,
+      Seq("2022-08-31T23:29:10.000000"))
+    val (px, _) = EpicPipeline.pixelsAndMeta(images,
+      ImageFixtures.watchlistDf(spark))
+    val optimized = px.queryExecution.optimizedPlan.toString.toLowerCase
+    // InferFiltersFromGenerate must not clone the gather into a filter
+    // guard: one PatchGather in the whole plan, wrapped in the documented
+    // OptimizerFence (not the old monotonically_increasing_id hack)
+    val gathers = "patchgather".r.findAllIn(optimized).length
+    assert(gathers == 1, s"expected exactly 1 gather, found $gathers:\n$optimized")
+    assert(optimized.contains("optimizerfence"))
+    assert(!optimized.contains("monotonically_increasing_id"))
   }
 }

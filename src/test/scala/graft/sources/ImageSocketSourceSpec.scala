@@ -127,6 +127,105 @@ class ImageSocketSourceSpec extends SparkSpec {
     assert(cnt("epic_img_metadata") == 1)
   }
 
+  test("decode=binary streams blob frames through the full pixel pipeline") {
+    val dir = Files.createTempDirectory("epicbin").toString
+    val sock = s"$dir/epic.sock"
+    val wl = s"$dir/wl"
+    val out = s"$dir/out"
+    val store = new graft.epic.WatchStore(spark, wl)
+    store.addWatch("center", "180.0", "34.0")
+    // binary passthrough: the source emits imageBinarySchema and the
+    // gather reads the blob natively — no per-frame array assembly
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).option("decode", "binary").load()
+    assert(images.schema("image").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val q = graft.epic.EpicStreaming.start(images, store, out, s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    Thread.sleep(500)
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
+    val deadline = System.currentTimeMillis() + 30000
+    def cnt(p: String): Long =
+      try spark.read.parquet(s"$out/$p").count()
+      catch { case _: Exception => 0L }
+    while ((cnt("epic_pixels") < 9 || cnt("epic_img_metadata") < 1) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    assert(cnt("epic_pixels") == 9)
+    // exact-value check: same numbers as the array path would produce
+    // (cube value at plane k, y, x is k·100000 + y·64 + x; center pixel
+    // of the 3x3 patch is 0-based (32,32))
+    val center = spark.read.parquet(s"$out/epic_pixels")
+      .where(col("pix_ofst_x") === 0 && col("pix_ofst_y") === 0)
+      .select("pixel_values").head().getSeq[Double](0)
+    assert(center.length == 2 * 2 * 4)
+    assert(center.head == (32 * 64 + 32).toDouble)
+    assert(center(1) == (100000 + 32 * 64 + 32).toDouble)
+  }
+
+  test("fetch_watchlist RPC returns the active watchlist over the socket") {
+    val dir = Files.createTempDirectory("epicfetch").toString
+    val sock = s"$dir/epic.sock"
+    val wl = s"$dir/wl"
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).option("watchStorePath", wl).load()
+    val q = images.select(col("dtype"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/rows").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    Thread.sleep(500)
+    // empty store: empty JSON array
+    assert(ImageSocketClient.fetchWatchlistUds(sock) == "[]")
+    // add two watches via RPC, then fetch via RPC — rows must match the
+    // local watchlistJson() view
+    ImageSocketClient.sendWatchUds(sock,
+      """{"source_name":"crab","ra":"83.6","dec":"22.0"}""")
+    ImageSocketClient.sendWatchUds(sock,
+      """{"source_name":"cyga","ra":"299.9","dec":"40.7"}""")
+    val fetched = ImageSocketClient.fetchWatchlistUds(sock)
+    val local = new graft.GraftEngine(spark, wl).watchlistJson()
+    assert(fetched == local.mkString("[", ",", "]"), fetched)
+    assert(fetched.contains("\"crab\"") && fetched.contains("\"cyga\""))
+    q.stop()
+  }
+
+  test("handshake fragmented across two TCP writes still goes through") {
+    val dir = Files.createTempDirectory("epicfrag").toString
+    val sock = s"$dir/epic.sock"
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).load()
+    val q = images.select(col("dtype"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/rows").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    Thread.sleep(500)
+    // hand-rolled client that splits the handshake JSON mid-token: the
+    // server must accumulate, not fail the parse on the first fragment
+    val payload = frame("2022-08-31T23:29:10.000000")
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    ch.connect(java.net.UnixDomainSocketAddress.of(sock))
+    val hs = s"""["epic_image", ${payload.length}]"""
+      .getBytes("UTF-8")
+    ch.write(java.nio.ByteBuffer.wrap(hs, 0, 10))
+    Thread.sleep(200) // force two distinct reads server-side
+    ch.write(java.nio.ByteBuffer.wrap(hs, 10, hs.length - 10))
+    val reply = java.nio.ByteBuffer.allocate(7)
+    while (reply.hasRemaining) assert(ch.read(reply) > 0)
+    assert(new String(reply.array(), "UTF-8") == "proceed")
+    ch.write(java.nio.ByteBuffer.wrap(payload))
+    val deadline = System.currentTimeMillis() + 30000
+    def rows(): Long =
+      try spark.read.parquet(s"$dir/rows").count()
+      catch { case _: Exception => 0L }
+    while (rows() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    ch.close()
+    q.stop()
+    assert(rows() == 1)
+  }
+
   test("integrity check rejects a frame whose size != prod(shape)") {
     val bad = ImageSocketClient.encode(
       ImageFixtures.primaryHeader,
