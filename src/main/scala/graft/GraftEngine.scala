@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.epic.{EpicStreaming, WatchStore}
+import graft.epic.{EpicStreaming, WatchStore, WatchStoreApi}
 import graft.functions.ArrayElementSum
 
 /** User-facing engine facade — the Spark-native surface for the reference's
@@ -15,9 +15,13 @@ import graft.functions.ArrayElementSum
   * out of engine scope: launching imager processes with NUMA pinning is the
   * cluster manager's job; the engine starts where bytes reach the socket.
   */
-class GraftEngine(val spark: SparkSession, watchStorePath: String) {
+class GraftEngine(val spark: SparkSession, val store: WatchStoreApi) {
 
-  val store = new WatchStore(spark, watchStorePath)
+  /** Parquet-backed store at `watchStorePath` (single-driver default);
+    * pass a [[graft.epic.JdbcWatchStore]] to the primary constructor when
+    * the watchlist is shared infrastructure. */
+  def this(spark: SparkSession, watchStorePath: String) =
+    this(spark, new WatchStore(spark, watchStorePath))
 
   /** C1: register a watch (validated; duplicate-guarded). Returns id. */
   def addWatch(sourceName: String, ra: String, dec: String,

@@ -27,7 +27,7 @@ object EpicStreaming {
   /** Start the ingest query. `images` must be a *streaming* DataFrame with
     * EpicPipeline.imageSchema columns. `sink` defaults to the dual-parquet
     * append under `outDir`; pass [[jdbcBatchSink]] for the PG swap (S5). */
-  def start(images: DataFrame, store: WatchStore, outDir: String,
+  def start(images: DataFrame, store: WatchStoreApi, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       elevationLimitDeg: Double = 30.0,
@@ -58,7 +58,7 @@ object EpicStreaming {
   /** One micro-batch: expiry tick, watchlist snapshot, pipeline, dual
     * append. Exposed for deterministic replay tests (Trigger.AvailableNow
     * equivalence, SURVEY §5.3). */
-  def processBatch(batch: DataFrame, store: WatchStore, outDir: String,
+  def processBatch(batch: DataFrame, store: WatchStoreApi, outDir: String,
       elevationLimitDeg: Double = 30.0,
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
       transientHook: DataFrame => DataFrame = identity,

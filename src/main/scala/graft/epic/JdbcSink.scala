@@ -38,14 +38,26 @@ class JdbcSink(url: String, user: String = "", password: String = "",
 
 object JdbcSink {
 
-  private def connect(url: String, user: String, pw: String): Connection =
-    if (user.isEmpty) DriverManager.getConnection(url)
-    else DriverManager.getConnection(url, user, pw)
+  private[epic] def connect(url: String, user: String, pw: String): Connection = {
+    val c =
+      if (user.isEmpty) DriverManager.getConnection(url)
+      else DriverManager.getConnection(url, user, pw)
+    // each executeBatch commits as ONE transaction: without this, JDBC's
+    // default autocommit could persist a prefix of a batch that fails
+    // mid-way, and the reconnect-replay would then duplicate those rows
+    // (the reference's to_sql path is transactional for the same reason)
+    try c.setAutoCommit(false)
+    catch { case _: SQLException => } // driver without txn support
+    c
+  }
 
   /** Executor-side batch loop: group rows, insert each group in one
-    * executeBatch; a SQLException closes + reopens the connection and
-    * replays the SAME group (service_hub.py:49-64 — the failed
-    * executemany is retried on a fresh connection, never dropped). */
+    * executeBatch committed as one transaction; a SQLException rolls the
+    * transaction back (or discards it with the dead connection), reopens,
+    * and replays the SAME group (service_hub.py:49-64 — the failed
+    * executemany is retried on a fresh connection, never dropped). The
+    * commit-per-batch makes the replay exactly-once-per-batch: a batch is
+    * either fully committed or fully absent when the retry runs. */
   private[epic] def writePartition(url: String, user: String, pw: String,
       sql: String, rows: Iterator[Row], batchSize: Int, maxRetries: Int,
       retryDelayMs: Long): Unit = {
@@ -65,11 +77,17 @@ object JdbcSink {
               ps.addBatch()
             }
             ps.executeBatch()
+            if (!conn.getAutoCommit) conn.commit()
             done = true
           } catch {
             case e: SQLException =>
               attempt += 1
               if (attempt > maxRetries) throw e
+              // roll back any partial batch before replaying: a closed
+              // connection discards the open transaction anyway, but an
+              // explicit rollback covers drivers that auto-commit on close
+              try { if (!conn.getAutoCommit) conn.rollback() }
+              catch { case _: Exception => }
               try conn.close() catch { case _: Exception => }
               Thread.sleep(retryDelayMs * attempt)
               conn = connect(url, user, pw)

@@ -421,6 +421,12 @@ object LlmQueries {
 
   // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
   // order (list_reduce over a 0-prepended list == Spark aggregate with 0 init).
+  // ASCII PIN: every `ascii(x) for x in string_split(…)` fold here hashes
+  // CODEPOINTS, while the Spark-side PolyHash kernel hashes UTF-8 BYTES —
+  // identical only while the corpus is pure ASCII. The driver's synthetic
+  // documents table is ASCII by construction, and AsciiCorpusSpec asserts
+  // it per scale factor so a future non-ASCII corpus fails loudly instead
+  // of hash-mismatching the oracle.
   private val W =
     """words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
       |           FROM documents)""".stripMargin

@@ -11,18 +11,25 @@ import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 
 /** In-memory JDBC stub (reflection proxies — java.sql interfaces are huge)
-  * that records inserted rows and can inject executeBatch failures, so the
-  * reconnect-retry loop is testable without a database server. */
+  * that records inserted rows and can inject executeBatch failures. It
+  * models TRANSACTIONS the way a real DB does: executeBatch writes into a
+  * per-connection pending buffer, `commit` publishes it to `rows`, and
+  * `rollback`/`close` discards it. An injected failure writes HALF the
+  * batch to pending before throwing — exactly the partial-batch state
+  * that, under autocommit, would have been durable and then duplicated by
+  * the replay. So the no-duplication test actually tests transactionality,
+  * not just the retry loop. */
 object StubDb {
   val Url = "jdbc:graftstub:mem"
   val rows = new ConcurrentLinkedQueue[Seq[Any]]()
   val batchSizes = new ConcurrentLinkedQueue[Integer]()
   val connectsOpened = new AtomicInteger(0)
   val failuresToInject = new AtomicInteger(0)
+  val commits = new AtomicInteger(0)
 
   def reset(failures: Int = 0): Unit = {
     rows.clear(); batchSizes.clear()
-    connectsOpened.set(0); failuresToInject.set(failures)
+    connectsOpened.set(0); failuresToInject.set(failures); commits.set(0)
   }
 
   private def dflt(m: Method): AnyRef = m.getReturnType match {
@@ -32,7 +39,8 @@ object StubDb {
     case _ => null
   }
 
-  private class StmtHandler extends InvocationHandler {
+  private class StmtHandler(pending: ArrayBuffer[Seq[Any]])
+      extends InvocationHandler {
     private val params = ArrayBuffer[Any]()
     private val batch = ArrayBuffer[Seq[Any]]()
     override def invoke(p: Any, m: Method, a: Array[AnyRef]): AnyRef =
@@ -44,9 +52,12 @@ object StubDb {
           null
         case "addBatch" => batch += params.toSeq; null
         case "executeBatch" =>
-          if (failuresToInject.getAndUpdate(n => math.max(0, n - 1)) > 0)
+          if (failuresToInject.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+            // a real mid-batch failure leaves a prefix in the transaction
+            pending ++= batch.take(batch.size / 2)
             throw new SQLException("injected connection failure")
-          batch.foreach(rows.add)
+          }
+          pending ++= batch
           batchSizes.add(batch.size)
           new Array[Int](batch.size)
         case "close" => null
@@ -55,12 +66,18 @@ object StubDb {
   }
 
   private class ConnHandler extends InvocationHandler {
+    private val pending = ArrayBuffer[Seq[Any]]()
     override def invoke(p: Any, m: Method, a: Array[AnyRef]): AnyRef =
       m.getName match {
         case "prepareStatement" => Proxy.newProxyInstance(
           getClass.getClassLoader, Array(classOf[PreparedStatement]),
-          new StmtHandler)
-        case "close" | "commit" => null
+          new StmtHandler(pending))
+        case "commit" =>
+          commits.incrementAndGet()
+          pending.foreach(rows.add); pending.clear(); null
+        case "rollback" | "close" =>
+          // an uncommitted transaction dies with the connection
+          pending.clear(); null
         case _ => dflt(m)
       }
   }
@@ -111,9 +128,13 @@ class JdbcSinkSpec extends SparkSpec {
     StubDb.reset(failures = 1)
     new JdbcSink(StubDb.Url, batchSize = 4, retryDelayMs = 1)
       .append(df3, "t")
+    // the injected failure left half its batch in the OLD connection's
+    // open transaction — transactional batches mean the replay must not
+    // see those rows twice (under autocommit this assert would fail)
     assert(StubDb.rows.size == 10)                 // replay, no loss
     assert(StubDb.rows.asScala.map(_(0)).toSet.size == 10) // no dupes
     assert(StubDb.connectsOpened.get == 2)         // the reconnect happened
+    assert(StubDb.commits.get == 3)                // one commit per batch
   }
 
   test("batch still failing after maxRetries propagates the SQLException") {
