@@ -66,8 +66,15 @@ object LlmQueries {
       .withColumn("d", count(lit(1)).over(Window.partitionBy(col("f"))))
       .where(col("d") <= MaxDocFreq)
       .drop("d")
+    // Materialized: three consumers below (cardinalities + both self-join
+    // sides), and Spark re-executes the whole tokenize→shingle→hash→window
+    // subtree per branch (measured: 22 parquet scans in d03's plan, zero
+    // exchange reuse). Persisting the capped fingerprint set is also the
+    // 100 TB design — real near-dup pipelines materialize the signature
+    // table once, because it is ~16 B/row vs re-tokenizing the corpus.
     val fp = candDocs.fold(fpAll)(cd =>
       fpAll.join(cd, Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val card = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = fp.as("x").join(fp.as("y"),
         col("x.f") === col("y.f") && col("x.doc_id") < col("y.doc_id"))
@@ -159,7 +166,10 @@ object LlmQueries {
     * candidates = docs sharing a band key (equi-join, linear-ish at scale),
     * then exact-Jaccard verification at 0.8 on candidates only. */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // shared by the signature pipeline AND the exact-verify stage — one
+    // materialization, not one recompute per consumer (see jaccardPairs)
     val fp = shingleFps(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = fp.groupBy(col("doc_id"))
       .agg(min(minhashPerm(col("f"), 0)).as("m0"),
         (1 until 16).map(i => min(minhashPerm(col("f"), i)).as(s"m$i")): _*)
@@ -172,6 +182,7 @@ object LlmQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LSH must SAVE work, not just filter output: semi-join the fingerprint
     // set down to candidate docs first, so exact Jaccard (the quadratic
     // part) runs only over co-shingled pairs of candidates.
@@ -201,10 +212,13 @@ object LlmQueries {
       sum(when((col("f") * (2 * j + 3) + j) % Mod % 2 === 1, 1)
         .otherwise(-1)).as(s"s$j"))
     val sums = fp.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    // (doc_id, h) is 16 B/row; both self-join sides consume it, and without
+    // materialization each side re-runs the 32-way signature aggregation
     val h = sums.select(col("doc_id"),
       (0 until 32).map(j =>
         when(col(s"s$j") > 0, lit(1L) * (1L << j)).otherwise(0L))
         .reduce(_ + _).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 6 bands over 32 bits: 6+6+6+6+4+4
     val bandSpec = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
     val bandKeys = bandSpec.map { case (off, len) =>
