@@ -356,6 +356,90 @@ object LlmQueries {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** S04: IVF-PQ ANN — product quantization on top of S03's inverted-file
+    * search: the memory-compression path that makes billion-vector search
+    * feasible (a 64-dim float vector is 256 B; its PQ code is M=4 bytes —
+    * 64× smaller, so a 100 TB embedding corpus fits executor memory as
+    * codes and the full-precision vectors stay in cold storage).
+    *
+    * Deterministic, oracle-replayable quantizer (no iterative k-means,
+    * same rationale as S03's coarse centroids): the M×16 codebook entries
+    * are the subspace slices of the 16 lowest-id vectors; each corpus
+    * vector stores, per 16-dim subspace, the codebook entry minimizing
+    * rounded L2² (ties → lowest entry id). Queries score candidates with
+    * asymmetric distance: dot(query_sub_m, codebook[code_m]) summed over
+    * subspaces in one sequential fold (bit-identical in DuckDB), against
+    * the reconstruction's norm. Recall < S03 < exact by design — the
+    * accuracy/memory trade is the point; s01 is the accuracy baseline. */
+  def s04AnnIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val K = 8; val nProbe = 2
+    val M = 4; val SubDim = 16 // 4 × 16 = 64-dim embeddings
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // coarse quantizer — identical to S03 so the probed lists match
+    val cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val toCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = toCent
+      .select(col("vec_id"), col("cid"), row_number().over(wAsg).as("rn"))
+      .where(col("rn") === 1).drop("rn")
+    val probes = toCent.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cid"), row_number().over(wAsg).as("rn"))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cid"))
+    // PQ codebook: subspace slices of the 16 lowest-id vectors (M·16 rows,
+    // broadcast); sub-vector m of v is slice(v, m·16+1, 16)
+    val ms = explode(sequence(lit(0), lit(M - 1))).as("m")
+    val sub = e.select(col("vec_id"), col("v"), ms)
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * SubDim + 1, lit(SubDim)).as("sv"))
+    val cb = sub.where(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("pcid"), col("sv").as("cv"))
+    // encode: per (vector, subspace) the argmin-L2² codebook entry
+    val l2sq = round(aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, t) => acc + t), 6)
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("pcid").asc)
+    val codes = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("pcid"), col("cv"), l2sq.as("d2"))
+      .select(col("vec_id"), col("m"), col("cv"),
+        row_number().over(wCode).as("rn"))
+      .where(col("rn") === 1)
+    // one row per vector: its M reconstruction blocks in subspace order +
+    // the reconstruction norm (codes are what a real deployment stores)
+    val pq = codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cv")))).as("mcv"))
+      .select(col("vec_id"),
+        transform(col("mcv"), x => x.getField("cv")).as("cvs"))
+      .withColumn("rnrm", sqrt(aggregate(col("cvs"), lit(0.0d),
+        (acc, c) => acc + dot(c, c))))
+    // ADC scoring inside the probed lists: one sequential fold over the M
+    // subspaces — deterministic summation order, replayed in the oracle
+    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0d),
+      (acc, m) => acc +
+        dot(slice(col("qv"), m * SubDim + 1, lit(SubDim)),
+          element_at(col("cvs"), m + 1)))
+    val scored = probes.join(assigned,
+        probes("cid") === assigned("cid") && col("vec_id") =!= col("q"))
+      .join(pq, "vec_id")
+      .select(col("q"), col("vec_id").as("nb"),
+        round(adc / (col("qn") * col("rnrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
   // ---- array aggregate (A3) ---------------------------------------------
 
   /** A01: element-wise array sum via the ArrayElementSum Aggregator —
@@ -427,6 +511,7 @@ object LlmQueries {
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
+    "s04_ann_ivfpq_topk" -> (s04AnnIvfPqTopK _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -620,6 +705,69 @@ object LlmQueries {
         |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
         |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
         |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
+        |ranked AS (SELECT q, nb, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+        |         AS INTEGER) rk FROM scored)
+        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+        |ORDER BY q, rk""".stripMargin,
+    "s04_ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent) t WHERE rn = 1),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id < 10) t WHERE rn <= 2),
+        |mm AS (SELECT UNNEST(range(0, 4)) m),
+        |sub AS (SELECT vec_id, m, list_slice(v, m*16+1, m*16+16) sv
+        |  FROM e CROSS JOIN mm),
+        |cb AS (SELECT m, vec_id pcid, sv cv FROM sub WHERE vec_id < 16),
+        |dist AS (SELECT s.vec_id, s.m, c.pcid, c.cv,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 17),
+        |        i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))),
+        |      (p,q)->p+q), 6) d2
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |code AS (SELECT vec_id, m, cv FROM (
+        |    SELECT vec_id, m, cv,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2 ASC, pcid ASC) rn
+        |    FROM dist) t WHERE rn = 1),
+        |pq AS (SELECT vec_id, list(cv ORDER BY m) cvs FROM code
+        |  GROUP BY vec_id),
+        |pqn AS (SELECT vec_id, cvs,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 5),
+        |        m -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, 17), i -> cvs[m][i]*cvs[m][i])),
+        |          (p,q)->p+q))),
+        |      (p,q)->p+q)) rnrm
+        |  FROM pq),
+        |scored AS (SELECT p.q, a.vec_id nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(0, 4),
+        |          m -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, 17),
+        |              i -> p.qv[m*16+i]*x.cvs[m+1][i])), (p2,q2)->p2+q2))),
+        |        (p3,q3)->p3+q3)
+        |      / (p.qn * x.rnrm), 6) sim
+        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q
+        |       JOIN pqn x ON x.vec_id = a.vec_id),
         |ranked AS (SELECT q, nb, sim,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
         |         AS INTEGER) rk FROM scored)

@@ -72,6 +72,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("S04 IVF-PQ: codebook broadcasts; ADC join is never a cartesian") {
+    val plan = planOf(LlmQueries.all("s04_ann_ivfpq_topk")(spark, sf0001))
+    // the M×16-row codebook and the K-row coarse centroids broadcast; the
+    // probed-list ADC scoring must stay an equi-join on (cid, vec_id)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("EPIC ingest: watchlist broadcasts; pixel path has no shuffle") {
     val images = ImageFixtures.imagesBinaryDf(spark,
       Seq("2022-08-31T23:29:10.000000"))
