@@ -285,6 +285,8 @@ object EpicPipeline {
   def toPgStrings(pixels: DataFrame): DataFrame = pixels
     .withColumn("pixel_coord",
       format_string("(%d,%d)", col("pixel_coord.x"), col("pixel_coord.y")))
+    .withColumn("pixel_values",
+      concat(lit("{"), array_join(col("pixel_values"), ","), lit("}")))
     .withColumn("pixel_skypos",
       format_string("SRID=4326;POINT(%s %s)",
         col("pixel_skypos.ra"), col("pixel_skypos.dec")))

@@ -32,14 +32,21 @@ object EpicStreaming {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       elevationLimitDeg: Double = 30.0,
       transientHook: DataFrame => DataFrame = identity,
-      sink: Option[(DataFrame, DataFrame) => Unit] = None): StreamingQuery = {
+      sink: Option[(DataFrame, DataFrame) => Unit] = None,
+      epochSink: Option[(DataFrame, DataFrame, Long) => Unit] = None)
+      : StreamingQuery = {
     images.writeStream
       .queryName("epic-ingest")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an epoch-aware sink (exactly-once JDBC) binds the engine's
+        // batchId; the plain sink stays batch-id-blind (at-least-once)
+        val bound = epochSink
+          .map(es => (px: DataFrame, m: DataFrame) => es(px, m, batchId))
+          .orElse(sink)
         processBatch(batch, store, outDir, elevationLimitDeg,
-          transientHook = transientHook, sink = sink)
+          transientHook = transientHook, sink = bound)
       }
       .start()
   }
@@ -53,6 +60,19 @@ object EpicStreaming {
       : (DataFrame, DataFrame) => Unit = (pixels, meta) => {
     jdbc.append(EpicPipeline.toPgStrings(pixels), pixelsTable)
     jdbc.append(EpicPipeline.metaToPgStrings(meta), metaTable)
+  }
+
+  /** Exactly-once S5: pass as `epochSink` — each micro-batch's rows land
+    * idempotently under its engine batchId, so foreachBatch replays after
+    * a crash cannot duplicate (JdbcEpochSink's epoch-scrub pattern). */
+  def jdbcExactlyOnceSink(jdbc: JdbcEpochSink,
+      pixelsTable: String = "epic_pixels",
+      metaTable: String = "epic_img_metadata")
+      : (DataFrame, DataFrame, Long) => Unit = (pixels, meta, epoch) => {
+    jdbc.appendOnce(EpicPipeline.toPgStrings(pixels), pixelsTable,
+      s"epic:$pixelsTable", epoch)
+    jdbc.appendOnce(EpicPipeline.metaToPgStrings(meta), metaTable,
+      s"epic:$metaTable", epoch)
   }
 
   /** One micro-batch: expiry tick, watchlist snapshot, pipeline, dual
