@@ -33,13 +33,22 @@ object LlmQueries {
 
   // ---- shared building blocks -------------------------------------------
 
-  /** (doc_id, f): distinct 3-word-shingle fingerprints per document. */
+  /** (doc_id, f): distinct 3-word-shingle fingerprints per document.
+    *
+    * The dedup is expressed as hash-partition-by-f + dropDuplicates
+    * instead of a plain distinct(): HashPartitioning(f) satisfies the
+    * dedup's ClusteredDistribution(doc_id, f) — same-key rows co-locate —
+    * so the whole downstream family (df-cap window over f, the
+    * fingerprint self-join on f) reuses this ONE shuffle of the largest
+    * intermediate in the dedup pipeline, where distinct() would partition
+    * by (doc_id, f) and force a second full reshuffle by f right after. */
   private def shingleFps(d: DataFrame): DataFrame =
     d.select(col("doc_id"), tokens(col("text")).as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("w"))).as("s"))
       .select(col("doc_id"), fingerprint(col("s")).as("f"))
-      .distinct()
+      .repartition(col("f"))
+      .dropDuplicates("doc_id", "f")
 
   /** Exact pairwise Jaccard over shingle-fingerprint sets, for pairs that
     * share at least one shingle (pairs sharing none have jac=0 and are
