@@ -247,6 +247,25 @@ object RelationalQueries {
         col("n_events"), col("last_ts"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** Q22 as-of join — each error event attributed to the user's most
+    * recent click at-or-before it (graft.operators.AsOfJoin: union+tag+
+    * window, ONE shuffle by user, no range-join blowup; Spark has no
+    * native ASOF JOIN). 105 of the errors at sf0.01 precede any click and
+    * surface with null attribution, exercising the unmatched path. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asOf(errors, clicks,
+        on = "user_id", time = "ts", ord = "event_id",
+        pick = Seq("event_id" -> "click_id", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        col("click_value"), round(col("value"), 4).as("err_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -271,6 +290,7 @@ object RelationalQueries {
     "q19_correlated_subquery" -> (q19 _),
     "q20_epic_shape" -> (q20 _),
     "q21_session_window" -> (q21 _),
+    "q22_asof_join" -> (q22 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -397,5 +417,28 @@ object RelationalQueries {
         |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
         |       max(ts) AS last_ts
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q22_asof_join" ->
+      """WITH ev AS (SELECT event_id,
+        |              make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |              user_id, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS is_click, event_id AS ord_id,
+        |         event_id AS c_id, value AS c_value,
+        |         CAST(NULL AS BIGINT) AS e_id, CAST(NULL AS DOUBLE) AS e_value
+        |  FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, value
+        |  FROM ev WHERE event_type = 'error'),
+        |w AS (SELECT *,
+        |    last_value(c_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_click DESC, ord_id
+        |       ROWS UNBOUNDED PRECEDING) AS click_id,
+        |    last_value(c_value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_click DESC, ord_id
+        |       ROWS UNBOUNDED PRECEDING) AS click_value
+        |  FROM u)
+        |SELECT e_id AS event_id, user_id, click_id, click_value,
+        |       round(e_value, 4) AS err_value
+        |FROM w WHERE is_click = 0 ORDER BY event_id""".stripMargin,
   )
 }
