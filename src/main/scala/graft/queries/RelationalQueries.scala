@@ -266,6 +266,31 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q23 range join — per error event, the count and value-sum of the
+    * same user's clicks within ±1 hour (graft.operators.RangeJoin:
+    * time-banded equi-join on (user, bucket) + exact |Δt| filter — the
+    * scale-safe form of a predicate Spark would otherwise plan as a
+    * nested-loop). Zero-match errors surface with count 0 via the
+    * aggregate-then-left-join pattern the operator scaladoc prescribes. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val pairs = graft.operators.RangeJoin.within(errors, clicks,
+      on = "user_id", time = "ts", radiusMicros = 3600000000L,
+      pick = Seq("value" -> "click_value"))
+    val agg = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"), sum(col("click_value")).as("sv"))
+    errors.select(col("event_id"), col("user_id"))
+      .join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"),
+        round(coalesce(col("sv"), lit(0.0d)), 4).as("sum_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -291,6 +316,7 @@ object RelationalQueries {
     "q20_epic_shape" -> (q20 _),
     "q21_session_window" -> (q21 _),
     "q22_asof_join" -> (q22 _),
+    "q23_range_join" -> (q23 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -440,5 +466,16 @@ object RelationalQueries {
         |SELECT e_id AS event_id, user_id, click_id, click_value,
         |       round(e_value, 4) AS err_value
         |FROM w WHERE is_click = 0 ORDER BY event_id""".stripMargin,
+    "q23_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id,
+        |       CAST(count(c.us) AS BIGINT) AS n_clicks,
+        |       round(coalesce(sum(c.value), 0), 4) AS sum_click_value
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.user_id AND abs(e.us - c.us) <= 3600000000
+        |GROUP BY e.event_id, e.user_id ORDER BY event_id""".stripMargin,
   )
 }
