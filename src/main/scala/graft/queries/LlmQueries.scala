@@ -151,6 +151,44 @@ object LlmQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** T05: corpus-trained character-trigram LM score — mean conditional
+    * trigram probability P(c|ab) = C₃(abc)/C₂(ab) with counts trained on
+    * the corpus itself, a classic fluency/quality signal (gibberish and
+    * boilerplate score low against the corpus distribution).
+    *
+    * Determinism design: the per-trigram probability is integer-scaled —
+    * v = (C₃·10⁶) div C₂ — so the per-document aggregate is a sum of
+    * LONGS (order-independent), not a sum of doubles (order-dependent) or
+    * a log-prob (libm's `ln` differs across engines in the last ulp).
+    * One final double division + round(4) happens per output row.
+    *
+    * Scale shape: trigram explode → two count aggregates (the "model") →
+    * join back by trigram/prefix. The model tables are vocabulary-sized
+    * (≤ alphabet³ rows), far below the corpus, and broadcast naturally. */
+  def t05TrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("text"))
+    val tri = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("tg"))
+    val big = d.select(
+      explode(transform(sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bg"))
+    val c3 = tri.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    tri
+      .join(c3, "tg")
+      .withColumn("bg", col("tg").substr(lit(1), lit(2)))
+      .join(c2, "bg")
+      .withColumn("v", expr("(c3 * 1000000L) div c2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("v")).as("sv"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("sv") * lit(1.0d) / (col("n_trigrams") * lit(1000000L)), 4)
+          .as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -512,6 +550,7 @@ object LlmQueries {
     "t02_quality_score" -> (t02Quality _),
     "t03_lang_id" -> (t03LangId _),
     "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_trigram_lm" -> (t05TrigramLm _),
     "d01_dedup_exact" -> (d01DedupExact _),
     "d02_dedup_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (d03MinhashLsh _),
@@ -613,6 +652,25 @@ object LlmQueries {
         |    [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
         |    (a,b)->(a*31+b)%1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_trigram_lm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id,
+        |    UNNEST(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+        |  FROM d),
+        |big AS (SELECT
+        |    UNNEST(list_transform(range(1, length(text)),
+        |      i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM d),
+        |c3 AS (SELECT tg, count(*) AS c3 FROM tri GROUP BY tg),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+        |v AS (SELECT t.doc_id, (c3.c3 * 1000000) // c2.c2 AS v
+        |  FROM tri t JOIN c3 USING (tg)
+        |       JOIN c2 ON c2.bg = substr(t.tg, 1, 2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |       round(sum(v) * 1.0 / (count(*) * 1000000), 4) AS lm_score
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
