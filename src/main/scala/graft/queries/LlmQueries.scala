@@ -168,19 +168,26 @@ object LlmQueries {
   def t05TrigramLm(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(col("text")) >= 3)
       .select(col("doc_id"), col("text"))
+    // the corpus-sized trigram frame feeds the model AND the scoring join
+    // — materialized once (per-branch recompute is the d03 lesson)
     val tri = d.select(col("doc_id"),
       explode(transform(sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = d.select(
       explode(transform(sequence(lit(1), length(col("text")) - 1),
         i => col("text").substr(i, lit(2)))).as("bg"))
     val c3 = tri.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
     val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    tri
-      .join(c3, "tg")
+    // v depends only on the trigram, so the model collapses to ONE
+    // vocabulary-sized table (≤ alphabet³ rows) joined to the corpus once,
+    // broadcast — the corpus-sized side never shuffles for the join
+    val model = c3
       .withColumn("bg", col("tg").substr(lit(1), lit(2)))
       .join(c2, "bg")
-      .withColumn("v", expr("(c3 * 1000000L) div c2"))
+      .select(col("tg"), expr("(c3 * 1000000L) div c2").as("v"))
+    tri
+      .join(broadcast(model), "tg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("v")).as("sv"))
       .select(col("doc_id"), col("n_trigrams"),
