@@ -291,6 +291,21 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q24 exact percentiles — median and p90 of event value per type.
+    * `percentile` (exact, linear-interpolated) rather than
+    * `percentile_approx`: the approximate sketch is the 100 TB default
+    * but its t-digest boundaries differ across engines, so the oracle
+    * gate covers the exact form and the approximate one stays a
+    * documented swap (same call shape, no plan change). */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -317,6 +332,7 @@ object RelationalQueries {
     "q21_session_window" -> (q21 _),
     "q22_asof_join" -> (q22 _),
     "q23_range_join" -> (q23 _),
+    "q24_percentile" -> (q24 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -477,5 +493,11 @@ object RelationalQueries {
         |FROM e LEFT JOIN c
         |  ON c.user_id = e.user_id AND abs(e.us - c.us) <= 3600000000
         |GROUP BY e.event_id, e.user_id ORDER BY event_id""".stripMargin,
+    "q24_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS med,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
