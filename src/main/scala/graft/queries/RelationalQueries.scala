@@ -306,6 +306,23 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Q25 pivot — event counts per user decade, event types as columns
+    * (`groupBy().pivot()` with an explicit value list: an enumerated
+    * pivot never needs the extra distinct-values job, which at 100 TB is
+    * a full extra scan). Absent combinations coalesce to 0 like the
+    * oracle's FILTER counts. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_bucket") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy(col("user_bucket"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -333,6 +350,7 @@ object RelationalQueries {
     "q22_asof_join" -> (q22 _),
     "q23_range_join" -> (q23 _),
     "q24_percentile" -> (q24 _),
+    "q25_pivot" -> (q25 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -499,5 +517,13 @@ object RelationalQueries {
         |       round(quantile_cont(value, 0.9), 4) AS p90,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
