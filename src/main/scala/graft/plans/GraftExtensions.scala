@@ -40,6 +40,12 @@ object GraftExtensions {
         "strided_gather(image, planes, y, x, ydim, xdim)")
       StridedGather(args(0), args(1), args(2), args(3), args(4), args(5))
     }),
+    "patch_gather" -> ((args: Seq[Expression]) => {
+      require(args.length == 7,
+        "patch_gather(image, planes, cy, cx, half, ydim, xdim)")
+      PatchGather(args(0), args(1), args(2), args(3), args(4), args(5),
+        args(6))
+    }),
     "nearest_pix" -> ((args: Seq[Expression]) => {
       require(args.length == 1, "nearest_pix(p)")
       val p = args.head

@@ -55,6 +55,16 @@ class StridedGatherSpec extends SparkSpec {
         " CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 2, 0, 1, 1, 2)")
       .collect().head.getSeq[Double](0).toSeq
     assert(viaSql == Seq(2.0, 4.0))
+    // whole-patch form: 1×1 patch (half=0) at (cy,cx)=(0,1) over the same
+    // 2-plane 1×2 cube — one struct, values = the strided gather above
+    val patch = spark.sql(
+      "SELECT patch_gather(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)," +
+        " CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))," +
+        " 2, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), 0, 1, 2)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(patch.length == 1)
+    assert(patch.head.getInt(0) == 0 && patch.head.getInt(1) == 0)
+    assert(patch.head.getSeq[Double](2).toSeq == Seq(2.0, 4.0))
     assert(spark.sql("SELECT nearest_pix(CAST(33.5 AS DOUBLE))").collect()
       .head.getAs[Number](0).doubleValue() == 34.0)
     assert(spark.sql("SELECT nearest_pix(CAST(-0.5 AS DOUBLE))").collect()
