@@ -323,6 +323,41 @@ object RelationalQueries {
       .orderBy(col("user_bucket"))
   }
 
+  /** Q26 lag/lead — per user in event order, the gap to the previous
+    * event and the type of the next one. Ties on ts break by event_id
+    * (unique), so frames are deterministic. The gap stays in INTEGER
+    * microseconds: a seconds-double rounded to 4 places hits
+    * representational ties where Spark's round (shortest-repr BigDecimal)
+    * and DuckDB's (exact binary) disagree by one ulp of the last digit. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("prev_gap_us"),
+        col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q27 CUBE — order counts and value sums over every combination of
+    * (returnflag, linestatus) including both subtotal planes and the
+    * grand total (rollup's lattice-complete sibling; grouping-set nulls
+    * are coalesced to markers so the oracle's GROUPING() spelling and
+    * Spark's agree on output). */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -351,6 +386,8 @@ object RelationalQueries {
     "q23_range_join" -> (q23 _),
     "q24_percentile" -> (q24 _),
     "q25_pivot" -> (q25 _),
+    "q26_lag_lead" -> (q26 _),
+    "q27_cube" -> (q27 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -525,5 +562,20 @@ object RelationalQueries {
         |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_lag_lead" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |                  event_type FROM events)
+        |SELECT event_id, user_id,
+        |       us - lag(us) OVER w AS prev_gap_us,
+        |       lead(event_type) OVER w AS next_type
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q27_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
   )
 }
