@@ -196,6 +196,35 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T06: corpus n-gram mining — the top-100 word bigrams by corpus
+    * frequency (ties → lexicographic), the classic "what is in my corpus"
+    * report (boilerplate phrases, contamination markers, template text all
+    * surface here first).
+    *
+    * Scale shape: explode → hash aggregate with map-side partial
+    * aggregation (the shuffle carries one row per distinct bigram per
+    * task, not one per occurrence) → global top-k compiled to
+    * TakeOrderedAndProject — cost bounded by the vocabulary, not the
+    * corpus; no full sort anywhere. */
+  def t06TopNgrams(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(100)
+    // rank assigned after the top-k cut: the window sees 100 rows, never
+    // the vocabulary
+    top.select(
+        row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("ngram"))).as("rk"),
+        col("ngram"), col("n_occurrences"))
+      .orderBy(col("rk"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -219,10 +248,18 @@ object LlmQueries {
   /** D03: MinHash+LSH near-dedup — 16 minhash perms, 4 bands × 4 rows;
     * candidates = docs sharing a band key (equi-join, linear-ish at scale),
     * then exact-Jaccard verification at 0.8 on candidates only. */
-  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashNearDupPairs(docs(s, dir))
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("a"), col("b"))
+
+  /** MinHash-LSH near-dup pairs (a < b, exact Jaccard ≥ 0.8 verified on
+    * LSH candidates only) over any (doc_id, text) frame — the d03 engine,
+    * reused by the P01 curation pipeline on its filtered corpus. */
+  private def minhashNearDupPairs(d: DataFrame): DataFrame = {
     // shared by the signature pipeline AND the exact-verify stage — one
     // materialization, not one recompute per consumer (see jaccardPairs)
-    val fp = shingleFps(docs(s, dir))
+    val fp = shingleFps(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = fp.groupBy(col("doc_id"))
       .agg(min(minhashPerm(col("f"), 0)).as("m0"),
@@ -244,8 +281,7 @@ object LlmQueries {
       .union(cand.select(col("b").as("doc_id"))).distinct()
     jaccardPairs(fp, Some(candDocs)).join(cand, Seq("a", "b"))
       .where(col("jac") >= 0.8d)
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
-      .orderBy(col("a"), col("b"))
+      .select(col("a"), col("b"), col("jac"))
   }
 
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
@@ -308,6 +344,52 @@ object LlmQueries {
           .as("sim"))
       .where(col("sim") >= 0.45d)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** D06: semantic dedup (SemDeDup-shaped) — cluster the embedding corpus
+    * with the same deterministic IVF coarse quantizer as S03 (the K
+    * lowest-id vectors act as centroids; every vector joins its
+    * argmax-rounded-cosine centroid, ties → lowest cid), then search for
+    * semantic near-duplicates ONLY within a cluster. Output: every vector
+    * preceded in its cluster by a near-duplicate (cosine ≥ 0.4), with the
+    * lowest-id such duplicate and the match count — the "removed" list a
+    * curation pipeline feeds to an anti-join.
+    *
+    * Scale shape: the pair join keys on the cluster id — the corpus
+    * shuffles ONCE by cluster and the quadratic comparison is confined to
+    * single clusters (in production K grows with the corpus, so cluster
+    * sizes stay bounded); nothing here is corpus-wide all-pairs. The
+    * accuracy trade vs d05's exact pair scan (cross-cluster duplicates are
+    * missed) is the SemDeDup design point. */
+  def d06SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val toCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    // both sides of the within-cluster pair join — materialized once
+    val assigned = toCent
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        row_number().over(wAsg).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("removed_id"), col("x.vec_id").as("kept"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6)
+          .as("sim"))
+      .where(col("sim") >= 0.4d)
+      .groupBy(col("removed_id"))
+      .agg(min(col("kept")).as("dup_of"), count(lit(1)).as("n_dups"),
+        max(col("sim")).as("max_sim"))
+      .orderBy(col("removed_id"))
   }
 
   // ---- similarity search ------------------------------------------------
@@ -494,6 +576,47 @@ object LlmQueries {
       .orderBy(col("q"), col("rk"))
   }
 
+  // ---- end-to-end curation pipeline -------------------------------------
+
+  /** P01: the flagship training-data curation pipeline, every stage chained
+    * in ONE Spark plan: language filter (t03's stopword vote says 'en') →
+    * quality floor (t02's score ≥ 0.3) → exact dedup (lowest doc_id per
+    * identical text survives) → MinHash-LSH near-dup removal (d03's engine
+    * run on the surviving corpus; the higher doc_id of each verified pair
+    * drops) → per-document report of what survived.
+    *
+    * Scale shape: the cheap narrowing stages (language, quality, exact
+    * dedup — one scan plus one shuffle on the text) run FIRST so the
+    * expensive near-dup stage sees the shrunken corpus — the stage order a
+    * real 100 TB curation run uses. Near-dup is d03's banded equi-join
+    * path, never all-pairs; Catalyst fuses the scalar stages into the scan
+    * (one pass computes tokens, language votes, and quality together). */
+  def p01CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir).select(col("doc_id"), col("text"),
+      tokens(col("text")).as("w"))
+    def hits(words: Seq[String]): Column =
+      size(filter(col("w"), t => words.map(t === _).reduce(_ || _)))
+    val quality =
+      round((size(array_distinct(col("w"))) * lit(1.0d) / size(col("w"))) *
+        least(size(col("w")) / lit(100.0d), lit(1.0d)), 4)
+    val scored = w.select(col("doc_id"), col("text"),
+      size(col("w")).as("n_tokens"), quality.as("quality"),
+      hits(Seq("the", "a")).as("s_en"), hits(Seq("der", "und")).as("s_de"),
+      hits(Seq("le", "et")).as("s_fr"), hits(Seq("el", "y")).as("s_es"))
+    val en = scored.where(col("s_en") >= col("s_de") &&
+      col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") &&
+      col("s_en") > 0 && col("quality") >= 0.3d)
+    val exact = en.withColumn("rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"))
+    val removed = minhashNearDupPairs(exact.select(col("doc_id"), col("text")))
+      .select(col("b").as("doc_id")).distinct()
+    exact.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- array aggregate (A3) ---------------------------------------------
 
   /** A01: element-wise array sum via the ArrayElementSum Aggregator —
@@ -563,6 +686,9 @@ object LlmQueries {
     "d03_dedup_minhash_lsh" -> (d03MinhashLsh _),
     "d04_dedup_simhash" -> (d04Simhash _),
     "d05_dedup_embed_cosine" -> (d05EmbedNearDup _),
+    "d06_semantic_dedup" -> (d06SemanticDedup _),
+    "t06_top_ngrams" -> (t06TopNgrams _),
+    "p01_curation_pipeline" -> (p01CurationPipeline _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
@@ -581,11 +707,12 @@ object LlmQueries {
   // documents table is ASCII by construction, and AsciiCorpusSpec asserts
   // it per scale factor so a future non-ASCII corpus fails loudly instead
   // of hash-mismatching the oracle.
-  private val W =
-    """words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
-      |           FROM documents)""".stripMargin
-  private val FP =
-    s"""$W,
+  private def Wfrom(src: String) =
+    s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+       |           FROM $src)""".stripMargin
+  private val W = Wfrom("documents")
+  private def FPfrom(src: String) =
+    s"""${Wfrom(src)},
        |shg AS (SELECT doc_id,
        |         UNNEST(list_transform(range(1, greatest(len(w)-1,1)),
        |                i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
@@ -595,8 +722,9 @@ object LlmQueries {
        |          [CAST(ascii(x) AS BIGINT) for x in string_split(s,'')]),
        |          (a,b)->(a*31+b)%1000000007) f
        |       FROM shg)""".stripMargin
-  private val JAC =
-    s"""$FP,
+  private val FP = FPfrom("documents")
+  private def JACfrom(src: String) =
+    s"""${FPfrom(src)},
        |freq AS (SELECT f, count(*) d FROM fp GROUP BY 1),
        |fpc AS (SELECT fp.doc_id, fp.f FROM fp
        |        JOIN freq ON fp.f = freq.f WHERE freq.d <= 10000),
@@ -607,6 +735,20 @@ object LlmQueries {
        |jac AS (SELECT a, b, i*1.0/(ca.n + cb.n - i) jac
        |        FROM inter JOIN card ca ON ca.doc_id = a
        |                   JOIN card cb ON cb.doc_id = b)""".stripMargin
+  private val JAC = JACfrom("documents")
+  /** d03's LSH candidate chain (sig → band → cand) over whatever `fp` CTE
+    * is in scope — shared verbatim by the d03 oracle and p01's near-dup
+    * stage. */
+  private val LSHCAND =
+    """sig AS (SELECT doc_id, i, min((f*(37+2*i)+1000+i)%1000000007) m
+      |        FROM fp CROSS JOIN (SELECT UNNEST(range(0,16)) i)
+      |        GROUP BY doc_id, i),
+      |band AS (SELECT doc_id, i//4 band,
+      |                string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) k
+      |         FROM sig GROUP BY doc_id, i//4),
+      |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+      |         FROM band x JOIN band y
+      |           ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id)""".stripMargin
   private val EMB =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |pair_sim AS (SELECT x.vec_id a, y.vec_id b,
@@ -678,6 +820,42 @@ object LlmQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |       round(sum(v) * 1.0 / (count(*) * 1000000), 4) AS lm_score
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t06_top_ngrams" ->
+      s"""WITH $W,
+         |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),
+         |         i -> w[i]||' '||w[i+1])) AS ngram
+         |       FROM words WHERE len(w) >= 2),
+         |c AS (SELECT ngram, count(*) n_occurrences FROM bg GROUP BY ngram),
+         |r AS (SELECT CAST(ROW_NUMBER() OVER
+         |               (ORDER BY n_occurrences DESC, ngram) AS INTEGER) rk,
+         |             ngram, n_occurrences FROM c)
+         |SELECT rk, ngram, n_occurrences FROM r WHERE rk <= 100
+         |ORDER BY rk""".stripMargin,
+    "p01_curation_pipeline" ->
+      s"""WITH words0 AS (SELECT doc_id, text,
+         |        string_split_regex(trim(text), '\\s+') w FROM documents),
+         |sc AS (SELECT doc_id, text, CAST(len(w) AS INTEGER) n_tokens,
+         |    round((len(list_distinct(w))*1.0/len(w)) *
+         |          least(len(w)/100.0, 1.0), 4) quality,
+         |    len(list_filter(w, t -> t='the' OR t='a')) s_en,
+         |    len(list_filter(w, t -> t='der' OR t='und')) s_de,
+         |    len(list_filter(w, t -> t='le' OR t='et')) s_fr,
+         |    len(list_filter(w, t -> t='el' OR t='y')) s_es
+         |  FROM words0),
+         |en AS (SELECT doc_id, text, n_tokens, quality FROM sc
+         |  WHERE s_en>=s_de AND s_en>=s_fr AND s_en>=s_es AND s_en>0
+         |    AND quality >= 0.3),
+         |keep2 AS (SELECT doc_id, text, n_tokens, quality FROM (
+         |    SELECT doc_id, text, n_tokens, quality,
+         |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+         |    FROM en) t WHERE rn = 1),
+         |${JACfrom("keep2")},
+         |$LSHCAND,
+         |removed AS (SELECT DISTINCT b FROM jac JOIN cand USING (a, b)
+         |            WHERE jac >= 0.8)
+         |SELECT doc_id, n_tokens, quality FROM keep2
+         |WHERE doc_id NOT IN (SELECT b FROM removed)
+         |ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -687,15 +865,7 @@ object LlmQueries {
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
     "d03_dedup_minhash_lsh" ->
       s"""WITH $JAC,
-         |sig AS (SELECT doc_id, i, min((f*(37+2*i)+1000+i)%1000000007) m
-         |        FROM fp CROSS JOIN (SELECT UNNEST(range(0,16)) i)
-         |        GROUP BY doc_id, i),
-         |band AS (SELECT doc_id, i//4 band,
-         |                string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) k
-         |         FROM sig GROUP BY doc_id, i//4),
-         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
-         |         FROM band x JOIN band y
-         |           ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id)
+         |$LSHCAND
          |SELECT a, b, round(jac, 4) AS jac
          |FROM jac JOIN cand USING (a, b)
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
@@ -718,6 +888,33 @@ object LlmQueries {
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim
          |WHERE a < b AND sim >= 0.45 ORDER BY a, b""".stripMargin,
+    "d06_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent) t WHERE rn = 1),
+        |pairs AS (SELECT y.vec_id removed_id, x.vec_id kept,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])),
+        |        (p,q)->p+q) / (x.nrm * y.nrm), 6) sim
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |SELECT removed_id, min(kept) AS dup_of, count(*) AS n_dups,
+        |       max(sim) AS max_sim
+        |FROM pairs WHERE sim >= 0.4
+        |GROUP BY removed_id ORDER BY removed_id""".stripMargin,
     "s01_ann_cosine_topk" ->
       s"""WITH $EMB,
          |ranked AS (SELECT a q, b nb, sim,
