@@ -168,17 +168,29 @@ object LlmQueries {
   def t05TrigramLm(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(col("text")) >= 3)
       .select(col("doc_id"), col("text"))
-    // the corpus-sized trigram frame feeds the model AND the scoring join
-    // — materialized once (per-branch recompute is the d03 lesson)
-    val tri = d.select(col("doc_id"),
+    // Per-(doc, trigram) COUNTS, not per-occurrence rows: the map-side
+    // partial aggregate collapses repeats before the shuffle, the persisted
+    // frame is distinct-trigram-per-doc-sized, and the scoring join below
+    // processes counts instead of occurrences. Feeds the model AND the
+    // scoring join — materialized once (per-branch recompute is the d03
+    // lesson).
+    val tric = d.select(col("doc_id"),
       explode(transform(sequence(lit(1), length(col("text")) - 2),
         i => col("text").substr(i, lit(3)))).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = d.select(
-      explode(transform(sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("bg"))
-    val c3 = tri.groupBy(col("tg")).agg(count(lit(1)).as("c3"))
-    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c3 = tric.groupBy(col("tg")).agg(sum(col("cnt")).as("c3"))
+    // Bigram counts WITHOUT a second corpus scan: every bigram of a text is
+    // either the 2-char prefix of one of its trigrams, or the text's final
+    // bigram (the one with no following char) — so C₂ = prefix-sums of C₃
+    // plus one row per document, and the corpus is only exploded once.
+    val lastBg = d.select(
+      col("text").substr(length(col("text")) - 1, lit(2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("lc"))
+    val c2 = c3.withColumn("bg", col("tg").substr(lit(1), lit(2)))
+      .groupBy(col("bg")).agg(sum(col("c3")).as("pc"))
+      .join(lastBg, Seq("bg"), "left")
+      .select(col("bg"), (col("pc") + coalesce(col("lc"), lit(0L))).as("c2"))
     // v depends only on the trigram, so the model collapses to ONE
     // vocabulary-sized table (≤ alphabet³ rows) joined to the corpus once,
     // broadcast — the corpus-sized side never shuffles for the join
@@ -186,10 +198,11 @@ object LlmQueries {
       .withColumn("bg", col("tg").substr(lit(1), lit(2)))
       .join(c2, "bg")
       .select(col("tg"), expr("(c3 * 1000000L) div c2").as("v"))
-    tri
+    tric
       .join(broadcast(model), "tg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("v")).as("sv"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        sum(col("cnt") * col("v")).as("sv"))
       .select(col("doc_id"), col("n_trigrams"),
         round(col("sv") * lit(1.0d) / (col("n_trigrams") * lit(1000000L)), 4)
           .as("lm_score"))
@@ -223,6 +236,180 @@ object LlmQueries {
           Window.orderBy(col("n_occurrences").desc, col("ngram"))).as("rk"),
         col("ngram"), col("n_occurrences"))
       .orderBy(col("rk"))
+  }
+
+  /** T07: PII redaction — the scrub pass every training corpus runs before
+    * anything else: e-mail addresses, phone numbers, and IPv4 addresses
+    * are replaced with class tags, and the per-class hit counts are
+    * reported next to a fingerprint of the redacted text (so the oracle
+    * verifies the BYTES of the redacted output, not just the counts).
+    *
+    * The synthetic corpus is PII-free by construction (AsciiCorpusSpec
+    * territory), so the query deterministically injects one e-mail, one
+    * phone number, and one IP per document (derived from doc_id) before
+    * redacting — the regexes are exercised against real positive matches
+    * on both engines, and the surrounding document text must survive
+    * byte-identically. Pattern order matters and is fixed: e-mail first
+    * (its local part can contain digits a later pattern would nibble),
+    * then phone (anchored on a leading '+' so it can never swallow an
+    * IP), then IPv4.
+    *
+    * Scale shape: pure per-row regexp_count/regexp_replace — fused into
+    * the scan by codegen, no shuffle at all until the final presentation
+    * sort. */
+  def t07PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9().-]{6,}[0-9]"
+    val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+      ((col("doc_id") * 7) % 256).cast("string"))
+    docs(s, dir)
+      .select(col("doc_id"), aug.as("t0"))
+      .select(col("doc_id"),
+        regexp_count(col("t0"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("t0"), lit(phoneRe)).as("n_phones"),
+        regexp_count(col("t0"), lit(ipRe)).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("t0"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]")
+          .as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("red")).as("red_len"), fingerprint(col("red")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T08: document chunking — fixed 200-char windows with a 150-char
+    * stride (50-char overlap), the retrieval/context-window split step.
+    * A document of length L yields 1 + ceil(max(L-200,0)/150) chunks; the
+    * final chunk is allowed to run short. Chunk bytes are reported as a
+    * fingerprint (array/text cells don't survive the driver's hash).
+    *
+    * Scale shape: explode over a per-row sequence — embarrassingly
+    * parallel, no shuffle; chunk count is derived arithmetic, not a
+    * scan-until-end loop. */
+  def t08ChunkSplit(s: SparkSession, dir: String): DataFrame = {
+    val nChunks = (lit(1L) +
+      expr("(greatest(length(text) - 200, 0) + 149) div 150")).as("nc")
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), nChunks)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), col("nc") - 1),
+          i => struct(i.as("chunk_idx"),
+            col("text").substr((lit(1L) + i * 150).cast("int"), lit(200))
+              .as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"),
+        length(col("c.chunk")).as("chunk_len"),
+        fingerprint(col("c.chunk")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** T09: repetition metrics — the Gopher-style repetition signals used
+    * to drop template/boilerplate text: the share of tokens taken by the
+    * single most frequent token (ties broken to the lexicographically
+    * first), and the duplicate-bigram fraction (1 − distinct/total).
+    * The corpus has no newlines, so the line-level variants of these
+    * rules are vacuous here and deliberately omitted.
+    *
+    * Scale shape: explode → two-level hash aggregates, map-side partial
+    * agg on (doc, token); the argmax is a max + equi-filter, never a
+    * sort; no window over anything bigger than a document's vocabulary. */
+  def t09Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val tokCnt = d.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = tokCnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"))
+    // deterministic argmax: join back on the max count, take min token
+    val topTok = tokCnt.join(stats, "doc_id")
+      .where(col("c") === col("top_c"))
+      .groupBy(col("doc_id")).agg(min(col("tok")).as("top_token"))
+    val bg = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nb"), count(lit(1)).as("db"))
+      .select(col("doc_id"),
+        round(lit(1.0d) - col("db") * lit(1.0d) / col("nb"), 4)
+          .as("dup_bigram_ratio"))
+    stats.join(topTok, "doc_id").join(bg, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_token"),
+        round(col("top_c") * lit(1.0d) / col("n_tokens"), 4)
+          .as("top_token_ratio"),
+        col("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D07: benchmark decontamination — flag training documents that share
+    * any 8-token shingle with the held-out eval set (docs with
+    * doc_id % 10 == 7 stand in for the benchmark corpus). This is the
+    * n-gram-overlap decontamination pass (GPT-3 appendix C / PaLM style)
+    * every serious pretraining run performs.
+    *
+    * Scale shape: shingle → fingerprint → DISTINCT eval-side fingerprint
+    * set (benchmarks are tiny by construction — broadcast), then an
+    * equi-join from the training shingles; contamination counts come out
+    * of the join's group-by. Never compares documents pairwise. */
+  def d07Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sh = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(col("w"), i + j)): _*)))
+          .as("s"))
+      .select(col("doc_id"), fingerprint(col("s")).as("f"))
+      .dropDuplicates("doc_id", "f")
+    val eval_ = sh.where(col("doc_id") % 10 === 7).select(col("f")).distinct()
+    sh.where(col("doc_id") % 10 =!= 7)
+      .join(broadcast(eval_), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** P02: sequence packing — concatenate documents in doc_id order and
+    * slice into 2048-token training windows; each document reports the
+    * window its first token lands in and the offset inside it. The global
+    * running total is [[graft.operators.SequencePacker]]'s two-level
+    * prefix sum (per-block sums → tiny block-offset window → within-block
+    * windows), so no stage ever funnels the corpus through one partition
+    * — the naive `sum over (order by doc_id)` would. */
+  def p02SequencePack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePacker.pack(
+      docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      key = "doc_id", nTokens = "n_tokens", seqLen = 2048L, blockSize = 64L)
+      .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_off"))
+      .orderBy(col("doc_id"))
+
+  /** R01: deterministic stratified sampling — per-language Bernoulli
+    * rates (en 20%, everything else 50%) keyed on the document-text
+    * fingerprint, not on rand(): the same document always lands on the
+    * same side of the cut, across retries, engines, and cluster sizes —
+    * the reproducibility property a training-data pipeline needs from its
+    * sampling step. Rates live in a broadcast-joined tiny table, the
+    * shape a per-domain/per-language sampling config takes at scale.
+    *
+    * Scale shape: broadcast hash join + per-row filter, no shuffle. */
+  def r01StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 2L)).toDF("lang", "rate10")
+    docs(s, dir)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("rate10", coalesce(col("rate10"), lit(5L)))
+      .withColumn("bucket", fingerprint(col("text")) % 10)
+      .where(col("bucket") < col("rate10"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- deduplication ----------------------------------------------------
@@ -687,8 +874,14 @@ object LlmQueries {
     "d04_dedup_simhash" -> (d04Simhash _),
     "d05_dedup_embed_cosine" -> (d05EmbedNearDup _),
     "d06_semantic_dedup" -> (d06SemanticDedup _),
+    "d07_decontaminate" -> (d07Decontaminate _),
     "t06_top_ngrams" -> (t06TopNgrams _),
+    "t07_pii_redact" -> (t07PiiRedact _),
+    "t08_chunk_split" -> (t08ChunkSplit _),
+    "t09_repetition" -> (t09Repetition _),
     "p01_curation_pipeline" -> (p01CurationPipeline _),
+    "p02_sequence_pack" -> (p02SequencePack _),
+    "r01_stratified_sample" -> (r01StratifiedSample _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
@@ -831,6 +1024,104 @@ object LlmQueries {
          |             ngram, n_occurrences FROM c)
          |SELECT rk, ngram, n_occurrences FROM r WHERE rk <= 100
          |ORDER BY rk""".stripMargin,
+    "t07_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST((doc_id * 7) % 256 AS VARCHAR) AS t0
+         |  FROM documents),
+         |red AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t0,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(t0,
+         |      '\\+[0-9][0-9().-]{6,}[0-9]')) AS INTEGER) AS n_phones,
+         |    CAST(len(regexp_extract_all(t0,
+         |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(t0,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |      '\\+[0-9][0-9().-]{6,}[0-9]', '[PHONE]', 'g'),
+         |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g') AS r
+         |  FROM aug)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  CAST(length(r) AS INTEGER) AS red_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(ascii(x) AS BIGINT) for x in string_split(r,'')]),
+         |    (a,b)->(a*31+b)%1000000007) AS red_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
+    "t08_chunk_split" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nc
+        |  FROM documents),
+        |ch AS (SELECT doc_id, text,
+        |    UNNEST(range(0, nc)) AS chunk_idx FROM d),
+        |cc AS (SELECT doc_id, chunk_idx,
+        |    substr(text, CAST(1 + chunk_idx * 150 AS INTEGER), 200) AS chunk
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(chunk,'')]),
+        |    (a,b)->(a*31+b)%1000000007) AS chunk_fp
+        |FROM cc ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t09_repetition" ->
+      s"""WITH $W,
+         |w2 AS (SELECT doc_id, w FROM words WHERE len(w) >= 2),
+         |f AS (SELECT doc_id, UNNEST(w) tok FROM w2),
+         |fc AS (SELECT doc_id, tok, count(*) c FROM f GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens, max(c) mc
+         |       FROM fc GROUP BY doc_id),
+         |top AS (SELECT fc.doc_id, min(tok) top_token
+         |        FROM fc JOIN st ON st.doc_id = fc.doc_id AND fc.c = st.mc
+         |        GROUP BY fc.doc_id),
+         |bg AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+         |         i -> w[i]||' '||w[i+1])) AS b FROM w2),
+         |br AS (SELECT doc_id,
+         |         round(1 - count(DISTINCT b)*1.0/count(*), 4)
+         |           AS dup_bigram_ratio
+         |       FROM bg GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, top_token,
+         |  round(mc*1.0/n_tokens, 4) AS top_token_ratio, dup_bigram_ratio
+         |FROM st JOIN top USING (doc_id) JOIN br USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d07_decontaminate" ->
+      s"""WITH $W,
+         |sh AS (SELECT doc_id,
+         |    UNNEST(list_transform(range(1, len(w) - 6),
+         |      i -> list_aggregate(w[i:i+7], 'string_agg', ' '))) AS s
+         |  FROM words WHERE len(w) >= 8),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(s,'')]),
+         |      (a,b)->(a*31+b)%1000000007) f
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 7)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+         |FROM fp JOIN ev USING (f) WHERE doc_id % 10 <> 7
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p02_sequence_pack" ->
+      s"""WITH $W,
+         |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens FROM words),
+         |p AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS strt
+         |  FROM t)
+         |SELECT doc_id, n_tokens, strt // 2048 AS seq_id,
+         |       strt % 2048 AS seq_off
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "r01_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) % 10 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
+        |ORDER BY doc_id""".stripMargin,
     "p01_curation_pipeline" ->
       s"""WITH words0 AS (SELECT doc_id, text,
          |        string_split_regex(trim(text), '\\s+') w FROM documents),

