@@ -63,6 +63,39 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("D07: eval fingerprint set broadcasts; overlap is an equi-join") {
+    val plan = planOf(LlmQueries.all("d07_decontaminate")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("T07/R01: per-row curation stages plan no shuffle before the sort") {
+    // redaction is scan → project; sampling is scan → broadcast-join →
+    // filter: in both, the ONLY Exchange allowed is the final
+    // presentation ordering (rangepartitioning)
+    for (q <- Seq("t07_pii_redact", "r01_stratified_sample")) {
+      val plan = planOf(LlmQueries.all(q)(spark, sf0001))
+      val shuffles = plan.linesIterator
+        .filter(_.contains("Exchange"))
+        .filterNot(_.contains("rangepartitioning"))
+        .filterNot(_.contains("SinglePartition"))
+        .filterNot(_.contains("BroadcastExchange")).toSeq
+      assert(shuffles.isEmpty, s"$q shuffles:\n${shuffles.mkString("\n")}")
+    }
+  }
+
+  test("P02: global prefix sum never windows over unpartitioned raw rows") {
+    val plan = planOf(LlmQueries.all("p02_sequence_pack")(spark, sf0001))
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // two-level scan: exactly two windows, and the unpartitioned one
+    // aggregates the per-block sums (see SequencePackerSpec for the
+    // operator-level proof)
+    assert(winLines.count(_.contains("windowspecdefinition")) === 2, plan)
+    assert(winLines.exists(_.contains("graft_bsum")), plan)
+  }
+
   test("S03 IVF: centroids broadcast; list search is never a cartesian") {
     val plan = planOf(LlmQueries.all("s03_ann_ivf_topk")(spark, sf0001))
     // the K-row centroid scoring pass must broadcast (a K-bounded
