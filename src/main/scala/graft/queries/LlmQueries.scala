@@ -860,6 +860,30 @@ object LlmQueries {
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_sampled"))
       .orderBy(col("media_id"))
 
+  /** M04: resize — area-average each asset's decoded frame down to 8×8
+    * through [[graft.operators.Multimodal.resized]] (the real resize
+    * arithmetic over the fake-decoded pixels; swapping the codec changes
+    * nothing here). The oracle replays the two corner output pixels
+    * bit-for-bit: each is a row-major sequential fold over its source box
+    * on the integer pixel lattice — float32 pixel values, double
+    * accumulator, one division, float32 store — exactly the operator's
+    * loop, so this IS oracled, not rows-checked.
+    *
+    * Scale shape: decode→resize fuse into one mapPartitions stage over
+    * the media partitioning; nothing shuffles until the presentation
+    * sort. */
+  def m04MediaResize(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+    graft.operators.Multimodal.resized(
+        graft.operators.Multimodal.decoded(media), tw = 8, th = 8)
+      .toDF()
+      .select(col("media_id"), col("width").as("out_w"),
+        col("height").as("out_h"),
+        round(element_at(col("pixels"), 1).cast("double"), 6).as("px_first"),
+        round(element_at(col("pixels"), 64).cast("double"), 6).as("px_last"))
+      .orderBy(col("media_id"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -890,6 +914,7 @@ object LlmQueries {
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_media_frame_sample" -> (m03FrameSample _),
+    "m04_media_resize" -> (m04MediaResize _),
   )
 
   // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
@@ -1385,5 +1410,36 @@ object LlmQueries {
       """SELECT doc_id AS media_id,
         |       CAST(((doc_id % 7 + 1) + 1) // 2 AS BIGINT) AS n_frames_sampled
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    // m04 replays the resize loop bit-for-bit for the two corner output
+    // pixels: float32 source pixels (k/1021 cast to REAL), row-major
+    // sequential double fold over the source box, one division, float32
+    // store — the identical arithmetic Multimodal.resized runs.
+    "m04_media_resize" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) seed,
+        |    CAST(n_chars % 24 + 8 AS INTEGER) w,
+        |    CAST(n_chars % 16 + 8 AS INTEGER) h
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |  flatten(list_transform(range(0, h // 8), y ->
+        |    list_transform(range(0, w // 8), x ->
+        |      CAST((((seed * 3 + (y * w + x + 1) * 1000003) % 1000000007)
+        |        % 1021) / 1021.0 AS FLOAT)))) v0,
+        |  flatten(list_transform(range(7 * h // 8, h), y ->
+        |    list_transform(range(7 * w // 8, w), x ->
+        |      CAST((((seed * 3 + (y * w + x + 1) * 1000003) % 1000000007)
+        |        % 1021) / 1021.0 AS FLOAT)))) v1
+        |  FROM fp)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+        |  round(CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    [CAST(v AS DOUBLE) for v in v0]), (a,b)->a+b) / len(v0)
+        |    AS FLOAT) AS DOUBLE), 6) AS px_first,
+        |  round(CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    [CAST(v AS DOUBLE) for v in v1]), (a,b)->a+b) / len(v1)
+        |    AS FLOAT) AS DOUBLE), 6) AS px_last
+        |FROM px ORDER BY media_id""".stripMargin,
   )
 }
