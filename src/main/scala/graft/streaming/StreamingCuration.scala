@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{fingerprint, tokens}
+
+/** Streaming counterpart of the batch curation pipeline (LlmQueries p01):
+  * documents arrive on a stream and flow through PII redaction → language
+  * vote → quality floor → watermarked exact dedup → near-dup candidate
+  * detection, producing a curated append stream.
+  *
+  * Stage design mirrors what scales on a real cluster:
+  *  - redaction / scoring / language vote are STATELESS projections — they
+  *    fuse into the stream's scan stage, no state store, no shuffle;
+  *  - exact dedup is `dropDuplicatesWithinWatermark` on the text
+  *    fingerprint — state is one row per distinct fingerprint inside the
+  *    watermark horizon, evicted by event time (an unbounded
+  *    dropDuplicates would grow state forever on an infinite corpus);
+  *  - near-dup detection reuses [[StreamingDedup]]'s incremental
+  *    MinHash-LSH `flatMapGroupsWithState` (band-keyed signature index,
+  *    bounded buckets) downstream of the exact stage, so its state only
+  *    ever sees exact-unique survivors.
+  *
+  * The stateless stages reuse the SAME column expressions the batch
+  * pipeline oracles (t07's regexes, t02's quality, t03's vote), so batch
+  * and streaming answers agree by construction — parity is pinned in
+  * `StreamingCurationSpec` by replaying a corpus both ways.
+  */
+object StreamingCuration {
+
+  /** t07's PII patterns, applied in the same fixed order. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9().-]{6,}[0-9]"
+  val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]")
+
+  /** Stateless curation stages over a streaming (or batch) documents
+    * frame with columns (doc_id, ts, text): redact, score, vote, filter.
+    * Output columns: doc_id, ts, text (redacted), n_tokens, quality. */
+  def scored(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    def hits(w: Column, words: Seq[String]): Column =
+      size(filter(w, t => words.map(t === _).reduce(_ || _)))
+    val quality =
+      round((size(array_distinct(col("w"))) * lit(1.0d) / size(col("w"))) *
+        least(size(col("w")) / lit(100.0d), lit(1.0d)), 4)
+    docs
+      .withColumn("text", redact(col("text")))
+      .withColumn("w", tokens(col("text")))
+      .where(size(col("w")) >= 1)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("quality", quality)
+      .withColumn("s_en", hits(col("w"), Seq("the", "a")))
+      .withColumn("s_de", hits(col("w"), Seq("der", "und")))
+      .withColumn("s_fr", hits(col("w"), Seq("le", "et")))
+      .withColumn("s_es", hits(col("w"), Seq("el", "y")))
+      .where(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") > 0 &&
+        col("quality") >= minQuality)
+      .select(col("doc_id"), col("ts"), col("text"),
+        col("n_tokens"), col("quality"))
+  }
+
+  /** Full streaming pipeline: stateless stages + watermarked exact dedup.
+    * `docs` must be a STREAMING frame with an event-time `ts` column.
+    * The returned stream appends curated, exact-unique documents. */
+  def curate(docs: DataFrame, watermark: String = "10 minutes",
+      minQuality: Double = 0.3): DataFrame =
+    scored(docs, minQuality)
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+}
