@@ -79,6 +79,7 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,6 +111,16 @@ object Cli {
         println(s"ingest started on ${opts.getOrElse("socket",
           "/tmp/epic_image.sock")}; ctrl-c to stop")
         q.awaitTermination()
+      case Some("curate") =>
+        // batch curation over a documents parquet dir: the full p01
+        // pipeline (language vote → quality floor → exact dedup →
+        // MinHash-LSH near-dup removal), written as parquet
+        val in = opts("in")
+        val out = opts("out")
+        val result = graft.queries.LlmQueries.all("p01_curation_pipeline")(
+          spark, in.stripSuffix("/documents.parquet").stripSuffix("/"))
+        result.write.mode("overwrite").parquet(out)
+        println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
       case other =>
         System.err.println(
           s"""usage: graft.Cli <command> [--opt value ...]
@@ -118,6 +129,7 @@ object Cli {
              |  watch-voevent --file VOEVENT_XML
              |  watchlist
              |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
+             |  curate    --in SF_DIR --out PARQUET_DIR
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Expression, ExpressionInfo, Floor, Least, Literal, Multiply, Sqrt, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, Cast, Divide, Expression, ExpressionInfo, Floor, Least, Literal, Multiply, RegExpReplace, Round, Size, Sqrt, StringSplit, StringTrim, Subtract}
+import org.apache.spark.sql.types.DoubleType
 
 /** SparkSessionExtensions wiring for the engine's custom expressions, so
   * SQL users get them too:
@@ -65,6 +66,31 @@ object GraftExtensions {
       val (a, b) = (args(0), args(1))
       Divide(DotProduct(a, b),
         Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    }),
+    "redact_pii" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "redact_pii(text)")
+      // t07's fixed pattern order: e-mail → '+'-anchored phone → IPv4
+      val email = RegExpReplace(args.head,
+        Literal("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+        Literal("[EMAIL]"))
+      val phone = RegExpReplace(email,
+        Literal("\\+[0-9][0-9().-]{6,}[0-9]"), Literal("[PHONE]"))
+      RegExpReplace(phone,
+        Literal("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"), Literal("[IP]"))
+    }),
+    "token_count" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "token_count(text)")
+      Size(new StringSplit(StringTrim(args.head), Literal("\\s+")))
+    }),
+    "quality_score" -> ((args: Seq[Expression]) => {
+      require(args.length == 1, "quality_score(text)")
+      // t02's formula: distinct-token ratio × length saturation, 4 dp
+      val w = new StringSplit(StringTrim(args.head), Literal("\\s+"))
+      def d(e: Expression) = Cast(e, DoubleType)
+      Round(Multiply(
+        Divide(d(Size(ArrayDistinct(w))), d(Size(w))),
+        Least(Seq(Divide(d(Size(w)), Literal(100.0d)), Literal(1.0d)))),
+        Literal(4))
     }))
 
   /** Register into a live session's function registry (the extensions

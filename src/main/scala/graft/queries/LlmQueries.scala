@@ -860,6 +860,30 @@ object LlmQueries {
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_sampled"))
       .orderBy(col("media_id"))
 
+  /** S05: ANN recall evaluation — recall@5 of the IVF path (s03) against
+    * the exact brute-force baseline (s01), per query vector. The
+    * measurement every approximate-similarity deployment runs before
+    * trusting its index: the accuracy/cost trade is only a trade if you
+    * can see the accuracy side. Composes the two already-oracled queries,
+    * so the recall numbers are themselves hash-verified.
+    *
+    * Scale shape: both inputs are top-k frames (k rows per query — tiny);
+    * the join and aggregate are negligible next to the searches
+    * themselves. At 100 TB this runs over a SAMPLE of queries, which is
+    * exactly what the vec_id<10 query set is. */
+  def s05AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s01AnnTopK(s, dir).select(col("q"), col("nb"))
+    val approx = s03AnnIvfTopK(s, dir)
+      .select(col("q").as("aq"), col("nb").as("anb"))
+    exact.join(approx,
+        col("q") === col("aq") && col("nb") === col("anb"), "left")
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("k"), count(col("anb")).as("n_hit"))
+      .select(col("q"), col("k"), col("n_hit"),
+        round(col("n_hit") * lit(1.0d) / col("k"), 4).as("recall_at_k"))
+      .orderBy(col("q"))
+  }
+
   /** M04: resize — area-average each asset's decoded frame down to 8×8
     * through [[graft.operators.Multimodal.resized]] (the real resize
     * arithmetic over the fake-decoded pixels; swapping the codec changes
@@ -910,6 +934,7 @@ object LlmQueries {
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
     "s04_ann_ivfpq_topk" -> (s04AnnIvfPqTopK _),
+    "s05_ann_recall" -> (s05AnnRecall _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -979,6 +1004,49 @@ object LlmQueries {
       |         list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])), (p,q)->p+q)))
       |  , 6) sim
       |  FROM e x, e y)""".stripMargin
+
+  /** s01/s03 oracle texts, shared with the s05 recall oracle. */
+  private val S01Sql: String =
+    s"""WITH $EMB,
+       |ranked AS (SELECT a q, b nb, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b)
+       |         AS INTEGER) rk
+       |  FROM pair_sim WHERE a < 10 AND a <> b)
+       |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+       |ORDER BY q, rk""".stripMargin
+  private val S03Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent) t WHERE rn = 1),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id < 10) t WHERE rn <= 2),
+        |scored AS (SELECT p.q, a.vec_id nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
+        |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
+        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
+        |ranked AS (SELECT q, nb, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+        |         AS INTEGER) rk FROM scored)
+        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+        |ORDER BY q, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -1231,14 +1299,7 @@ object LlmQueries {
         |       max(sim) AS max_sim
         |FROM pairs WHERE sim >= 0.4
         |GROUP BY removed_id ORDER BY removed_id""".stripMargin,
-    "s01_ann_cosine_topk" ->
-      s"""WITH $EMB,
-         |ranked AS (SELECT a q, b nb, sim,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b)
-         |         AS INTEGER) rk
-         |  FROM pair_sim WHERE a < 10 AND a <> b)
-         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
-         |ORDER BY q, rk""".stripMargin,
+    "s01_ann_cosine_topk" -> S01Sql,
     "s02_ann_lsh_topk" ->
       s"""WITH $EMB,
          |bkt AS (SELECT vec_id, v,
@@ -1264,39 +1325,15 @@ object LlmQueries {
          |         AS INTEGER) rk FROM scored)
          |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
          |ORDER BY q, rk""".stripMargin,
-    "s03_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
-        |      (p,q)->p+q)) nrm
-        |  FROM e),
-        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
-        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
-        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
-        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
-        |  FROM n CROSS JOIN cents c),
-        |asg AS (SELECT vec_id, v, nrm, cid FROM (
-        |    SELECT vec_id, v, nrm, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY csim DESC, cid) rn
-        |    FROM tocent) t WHERE rn = 1),
-        |probes AS (SELECT q, qv, qn, cid FROM (
-        |    SELECT vec_id q, v qv, nrm qn, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY csim DESC, cid) rn
-        |    FROM tocent WHERE vec_id < 10) t WHERE rn <= 2),
-        |scored AS (SELECT p.q, a.vec_id nb,
-        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
-        |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
-        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
-        |ranked AS (SELECT q, nb, sim,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
-        |         AS INTEGER) rk FROM scored)
-        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
-        |ORDER BY q, rk""".stripMargin,
+    "s03_ann_ivf_topk" -> S03Sql,
+    "s05_ann_recall" ->
+      s"""WITH ex AS ($S01Sql),
+         |ap AS ($S03Sql)
+         |SELECT ex.q, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(ap.nb) AS BIGINT) AS n_hit,
+         |  round(count(ap.nb) * 1.0 / count(*), 4) AS recall_at_k
+         |FROM ex LEFT JOIN ap ON ap.q = ex.q AND ap.nb = ex.nb
+         |GROUP BY ex.q ORDER BY ex.q""".stripMargin,
     "s04_ann_ivfpq_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |n AS (SELECT vec_id, v,

@@ -60,4 +60,26 @@ class SqlSurfaceSpec extends SparkSpec {
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST, cnt""".stripMargin,
       "q12_rollup")
   }
+
+  test("curation functions are callable from SQL and match the operators") {
+    assert(ready)
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT redact_pii('mail a@b.example or +1-555-0100 at 10.0.0.1') r,
+        |       token_count(' one two  three ') n,
+        |       quality_score('the quick brown fox the quick brown fox') q
+        |""".stripMargin).collect().head
+    assert(r.getString(0) === "mail [EMAIL] or [PHONE] at [IP]")
+    assert(r.getInt(1) === 3)
+    // 4 distinct / 8 tokens × (8/100) = 0.04
+    assert(r.getDouble(2) === 0.04)
+    // and against the t02 operator on the real corpus: same quality column
+    val viaSql = spark.sql(
+      "SELECT doc_id, quality_score(text) q FROM documents ORDER BY doc_id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val viaOp = LlmQueries.all("t02_quality_score")(spark, sf0001)
+      .select("doc_id", "quality")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(viaSql === viaOp)
+  }
 }
