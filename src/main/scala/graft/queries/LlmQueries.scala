@@ -412,6 +412,18 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** P03: training-export manifest — the shard layout + checksums that
+    * [[graft.operators.TrainingExport.export]] writes next to a curated
+    * corpus, computed as a pure query (no files) so the oracle can verify
+    * it: shard = fingerprint(key) mod 8 (content-keyed — stable across
+    * retries/layouts), checksum = XOR of per-row content fingerprints
+    * (order-independent, so any engine reading shards in any order
+    * reproduces it). One shuffle (the groupBy). */
+  def p03ExportManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainingExport.manifestOf(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+      key = "doc_id", nShards = 8)
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -470,6 +482,22 @@ object LlmQueries {
       .where(col("jac") >= 0.8d)
       .select(col("a"), col("b"), col("jac"))
   }
+
+  /** D08: near-dup clusters — connected components over the d03 MinHash-LSH
+    * pair list ([[graft.operators.DupClusters]], iterated min-label
+    * propagation: O(component diameter) shuffle rounds, and dup components
+    * are dense copies of one source so the loop converges in 2-4 rounds).
+    * Output: every paired doc with its cluster id (= min doc id of the
+    * component) and whether it is the cluster's canonical survivor — the
+    * step that turns pair detection into an actually deduplicated corpus
+    * (drop `is_canon = 0` with one anti-join). Oracle: recursive CTE over
+    * the identical pair list. */
+  def d08DupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DupClusters.clusters(
+        minhashNearDupPairs(docs(s, dir)).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).cast("long").as("is_canon"))
+      .orderBy(col("doc_id"))
 
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
@@ -923,12 +951,14 @@ object LlmQueries {
     "d05_dedup_embed_cosine" -> (d05EmbedNearDup _),
     "d06_semantic_dedup" -> (d06SemanticDedup _),
     "d07_decontaminate" -> (d07Decontaminate _),
+    "d08_dup_clusters" -> (d08DupClusters _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
     "t09_repetition" -> (t09Repetition _),
     "p01_curation_pipeline" -> (p01CurationPipeline _),
     "p02_sequence_pack" -> (p02SequencePack _),
+    "p03_export_manifest" -> (p03ExportManifest _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
@@ -1215,6 +1245,22 @@ object LlmQueries {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
         |ORDER BY doc_id""".stripMargin,
+    "p03_export_manifest" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(
+        |        CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || text,
+        |        '')]),
+        |      (a,b)->(a*31+b)%1000000007) AS rfp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(
+        |        CAST(doc_id AS VARCHAR), '')]),
+        |      (a,b)->(a*31+b)%1000000007) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(rfp) AS checksum,
+        |       min(doc_id) AS key_min, max(doc_id) AS key_max
+        |FROM fp GROUP BY shard ORDER BY shard""".stripMargin,
     "p01_curation_pipeline" ->
       s"""WITH words0 AS (SELECT doc_id, text,
          |        string_split_regex(trim(text), '\\s+') w FROM documents),
@@ -1268,6 +1314,21 @@ object LlmQueries {
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.h, y.h)) <= 5
          |ORDER BY a, b""".stripMargin,
+    "d08_dup_clusters" ->
+      s"""WITH RECURSIVE $JAC,
+         |$LSHCAND,
+         |pairs AS (SELECT jac.a, jac.b FROM jac JOIN cand USING (a, b)
+         |          WHERE jac >= 0.8),
+         |edges AS (SELECT a src, b dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_canon
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DupClustersSpec extends SparkSpec {
+
+  private def pairsDf(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("a", "b")
+  }
+
+  test("chain, triangle, and isolated pair collapse to min-id components") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // pair 20-21
+    val pairs = pairsDf(1L -> 2L, 2L -> 3L, 3L -> 4L,
+      10L -> 11L, 11L -> 12L, 10L -> 12L, 20L -> 21L)
+    val got = DupClusters.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("empty pair list yields an empty cluster table") {
+    val got = DupClusters.clusters(pairsDf())
+    assert(got.count() === 0)
+  }
+
+  test("deduplicate keeps one canonical row per cluster plus unpaired rows") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = pairsDf(1L -> 2L, 2L -> 3L, 5L -> 6L)
+    val kept = DupClusters.deduplicate(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
+  test("long chain converges within the iteration cap") {
+    // path 0-1-2-...-30: worst-case diameter for min-label propagation
+    val pairs = pairsDf((0L until 30L).map(i => i -> (i + 1)): _*)
+    val got = DupClusters.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 31 && got.values.forall(_ == 0L))
+  }
+}
