@@ -424,6 +424,40 @@ object LlmQueries {
       docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
       key = "doc_id", nShards = 8)
 
+  /** A02: KMV approximate distinct count per language, next to the exact
+    * count it approximates ([[graft.functions.KmvSketch]]). The sketch is
+    * associative — map-side partial aggregation, only k-long buffers cross
+    * the shuffle — which is how COUNT(DISTINCT) survives 100 TB. Unlike
+    * HLL (`approx_count_distinct`), the estimate is deterministic
+    * arithmetic over the engine's own fingerprint hash, so the oracle
+    * reproduces it bit-for-bit (k-th smallest distinct hash + the same
+    * (k-1)·M/h_k formula). */
+  def a02KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), fingerprint(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        round(graft.functions.KmvSketch.column(col("h"), 64), 4)
+          .as("kmv_est"))
+      .orderBy(col("lang"))
+
+  /** R02: fixed-size deterministic sample — exactly min(20, group size)
+    * docs per language, chosen as the 20 smallest text fingerprints
+    * (ties broken by doc_id). Rate-based sampling (r01) cannot promise a
+    * sample SIZE; hash-rank sampling does, stays reproducible across
+    * engines/retries/cluster sizes (never rand()), and the rank-≤-k
+    * filter compiles to Spark's WindowGroupLimit — per-partition top-k
+    * then a k·groups-sized merge, no global sort. */
+  def r02TopkSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -960,6 +994,8 @@ object LlmQueries {
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
+    "r02_topk_sample" -> (r02TopkSample _),
+    "a02_kmv_distinct" -> (a02KmvDistinct _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
@@ -1245,6 +1281,33 @@ object LlmQueries {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
         |ORDER BY doc_id""".stripMargin,
+    "a02_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) h
+        |  FROM documents),
+        |r AS (SELECT lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) rk FROM h),
+        |kth AS (SELECT lang, h hk FROM r WHERE rk = 64),
+        |cnt AS (SELECT lang, count(*) n_exact FROM h GROUP BY lang)
+        |SELECT cnt.lang, CAST(cnt.n_exact AS BIGINT) AS n_exact,
+        |  round(CASE WHEN kth.hk IS NULL THEN cnt.n_exact * 1.0
+        |        ELSE 63.0 * 1000000007 / kth.hk END, 4) AS kmv_est
+        |FROM cnt LEFT JOIN kth ON kth.lang = cnt.lang
+        |ORDER BY cnt.lang""".stripMargin,
+    "r02_topk_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |         AS BIGINT) rk
+        |  FROM h)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "p03_export_manifest" ->
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

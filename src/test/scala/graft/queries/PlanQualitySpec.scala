@@ -42,6 +42,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("R02: rank<=k sample plans as WindowGroupLimit (per-partition top-k)") {
+    val plan = planOf(LlmQueries.all("r02_topk_sample")(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("A02: KMV sketch partial-aggregates map-side (buffers cross the " +
+      "shuffle, not rows)") {
+    val plan = planOf(LlmQueries.all("a02_kmv_distinct")(spark, sf0001))
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_kmvsketch")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected partial KMV aggregate under the shuffle:\n$plan")
+  }
+
   test("Q07: aggregation is partial (map-side combine before the shuffle)") {
     val plan = planOf(RelationalQueries.q07(spark, sf0001))
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"))
