@@ -970,6 +970,36 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** M05: perceptual media dedup by average-hash — decode → area-average
+    * resize to 4×4 ([[graft.operators.Multimodal.resized]], the m04
+    * machinery) → 16-bit signature (bit i = pixel i above the frame mean)
+    * → hash groupBy; buckets with ≥2 assets are dup candidates. With a
+    * real codec identical/re-encoded/resized copies of an image share the
+    * ahash; the fake codec exercises the identical plumbing and keeps the
+    * arithmetic replayable (the oracle rebuilds every 4×4 pixel from the
+    * lattice and re-derives the bits). Near-dup at Hamming ≤ d would add
+    * d04-style bit-banding on this same signature; the exact-bucket form
+    * is one shuffle. */
+  def m05MediaAhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+    val small = graft.operators.Multimodal.resized(
+        graft.operators.Multimodal.decoded(media), tw = 4, th = 4)
+      .toDF()
+    val mean = aggregate(col("pixels"), lit(0.0d),
+      (a, x) => a + x.cast("double")) / lit(16.0d)
+    val bits = (0 until 16).map(i =>
+      when(element_at(col("pixels"), i + 1).cast("double") > col("mean"),
+        lit(1L << i)).otherwise(lit(0L)))
+    small.select(col("media_id"), col("pixels"), mean.as("mean"))
+      .withColumn("ahash", bits.reduce(_ + _))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("media_min"),
+        max(col("media_id")).as("media_max"))
+      .where(col("n_media") >= 2)
+      .orderBy(col("ahash"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1006,6 +1036,7 @@ object LlmQueries {
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_media_frame_sample" -> (m03FrameSample _),
     "m04_media_resize" -> (m04MediaResize _),
+    "m05_media_ahash_dedup" -> (m05MediaAhashDedup _),
   )
 
   // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
@@ -1602,5 +1633,45 @@ object LlmQueries {
         |    [CAST(v AS DOUBLE) for v in v1]), (a,b)->a+b) / len(v1)
         |    AS FLOAT) AS DOUBLE), 6) AS px_last
         |FROM px ORDER BY media_id""".stripMargin,
+    // m05 rebuilds every 4×4 output pixel from the lattice (same block
+    // bounds, row-major double fold, float32 store as the resize), then
+    // re-derives the 16 threshold bits and the bucket aggregate.
+    "m05_media_ahash_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) seed,
+        |    CAST(n_chars % 24 + 8 AS INTEGER) w,
+        |    CAST(n_chars % 16 + 8 AS INTEGER) h
+        |  FROM documents),
+        |px AS (SELECT doc_id, flatten(list_transform(range(0, 4), ty ->
+        |    list_transform(range(0, 4), tx ->
+        |      CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        flatten(list_transform(range(ty * h // 4, (ty+1) * h // 4),
+        |          y -> list_transform(range(tx * w // 4, (tx+1) * w // 4),
+        |            x -> CAST(CAST((((seed * 3 + (y * w + x + 1) * 1000003)
+        |              % 1000000007) % 1021) / 1021.0 AS FLOAT)
+        |              AS DOUBLE))))),
+        |        (a,b)->a+b)
+        |        / (((ty+1) * h // 4 - ty * h // 4)
+        |           * ((tx+1) * w // 4 - tx * w // 4))
+        |      AS FLOAT)))) v
+        |  FROM fp),
+        |m AS (SELECT doc_id, v,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      [CAST(x AS DOUBLE) for x in v]), (a,b)->a+b) / 16 mean
+        |  FROM px),
+        |hsh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 16), i ->
+        |        CASE WHEN CAST(v[CAST(i + 1 AS INTEGER)] AS DOUBLE) > mean
+        |             THEN (CAST(1 AS BIGINT) << i)
+        |             ELSE CAST(0 AS BIGINT) END)),
+        |      (a,b)->a+b) ahash
+        |  FROM m)
+        |SELECT ahash, CAST(count(*) AS BIGINT) n_media,
+        |       min(doc_id) media_min, max(doc_id) media_max
+        |FROM hsh GROUP BY ahash HAVING count(*) >= 2
+        |ORDER BY ahash""".stripMargin,
   )
 }
