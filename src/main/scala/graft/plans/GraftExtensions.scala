@@ -95,11 +95,18 @@ object GraftExtensions {
 
   /** Register into a live session's function registry (the extensions
     * mechanism only applies while the session is being built). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder)
     }
+    // typed Aggregators go through the UDF registry, not the expression
+    // registry — registered here so SQL users get the mergeable sketches
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(new graft.functions.KmvSketch(64)))
+    spark.udf.register("array_element_sum",
+      org.apache.spark.sql.functions.udaf(graft.functions.ArrayElementSum))
+  }
 }

@@ -29,6 +29,27 @@ class KmvSketchSpec extends SparkSpec {
     assert(sk.finish(big) === 3.0d * TextFunctions.Mod / 4L)
   }
 
+  test("sketch merges across streaming micro-batches: final estimate " +
+      "equals the batch answer over all data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Long](spark, 1)
+    val batch1 = (0L until 500L).map(i => (i * 2654435761L) % TextFunctions.Mod)
+    val batch2 = (300L until 900L).map(i => (i * 2654435761L) % TextFunctions.Mod)
+    val agg = mem.toDF().toDF("h")
+      .agg(KmvSketch.column(col("h"), 64).as("est"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").as[Double].head()
+      val batch = (batch1 ++ batch2).toDF("h")
+        .agg(KmvSketch.column(col("h"), 64)).as[Double].head()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("estimate lands within 3/sqrt(k) of the true distinct count") {
     import spark.implicits._
     val n = 20000

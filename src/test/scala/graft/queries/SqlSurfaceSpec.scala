@@ -82,4 +82,16 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
     assert(viaSql === viaOp)
   }
+
+  test("kmv_distinct is callable from SQL and matches the a02 operator") {
+    assert(ready)
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT lang, round(kmv_distinct(fingerprint(text)), 4) kmv_est
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaOp = LlmQueries.all("a02_kmv_distinct")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(viaSql === viaOp)
+  }
 }
