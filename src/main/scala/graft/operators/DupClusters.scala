@@ -33,8 +33,13 @@ object DupClusters {
     * (id, cluster_id) with cluster_id = min id of the component.
     * `pairs` columns `a`/`b` are one undirected edge per row. */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // The pair source is typically an expensive dedup pipeline (LSH band
+    // join + exact verify), and the symmetric-edge union below scans it
+    // TWICE — materialize it once first (the per-branch-recompute trap).
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -57,6 +62,7 @@ object DupClusters {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
