@@ -533,6 +533,37 @@ object LlmQueries {
         (col("id") === col("lbl")).cast("long").as("is_canon"))
       .orderBy(col("doc_id"))
 
+  /** D09: fuzzy near-dup by banded edit distance — catches small-edit
+    * variants (OCR noise, typos, template slots) that exact hashing and
+    * shingle overlap both miss. Candidates come from a (lang, length-band)
+    * equi-join — Levenshtein ≤ d implies a length difference ≤ d, so an
+    * 8-wide band plus its two neighbors provably covers every qualifying
+    * pair and the O(n²·len²) DP runs only inside bands. The corpus has no
+    * organic typo variants, so the right side is a deterministic
+    * noisified copy ('e'→'3' on the 48-char prefix, the t07 injection
+    * pattern) and the oracle verifies real nonzero distances
+    * cross-engine. */
+  def d09EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 48).as("pfx"), col("n_chars"),
+      expr("n_chars div 8").as("bkt"))
+    val probes = d.select(col("doc_id").as("a"), col("lang"),
+      col("pfx").as("pa"), col("n_chars").as("la"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+        .as("pb_bkt"))
+    val variants = d.select(col("doc_id").as("b"), col("lang").as("vlang"),
+      translate(col("pfx"), "e", "3").as("vb"), col("n_chars").as("lb"),
+      col("bkt").as("vbkt"))
+    probes.join(variants,
+        col("lang") === col("vlang") && col("pb_bkt") === col("vbkt") &&
+          col("a") < col("b"))
+      .where(abs(col("la") - col("lb")) <= 8 &&
+        levenshtein(col("pa"), col("vb")) <= 8)
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("vb")).cast("long").as("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
     * Hamming distance ≤ 5.
@@ -1016,6 +1047,7 @@ object LlmQueries {
     "d06_semantic_dedup" -> (d06SemanticDedup _),
     "d07_decontaminate" -> (d07Decontaminate _),
     "d08_dup_clusters" -> (d08DupClusters _),
+    "d09_edit_distance" -> (d09EditDistance _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
@@ -1423,6 +1455,17 @@ object LlmQueries {
          |       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_canon
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d09_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text,1,48) pfx, n_chars,
+        |                  n_chars//8 bkt FROM documents),
+        |v AS (SELECT doc_id, lang, translate(pfx,'e','3') vfx, n_chars,
+        |             bkt FROM d),
+        |cand AS (SELECT x.doc_id a, y.doc_id b, x.pfx pa, y.vfx vb
+        |  FROM d x JOIN v y ON x.lang = y.lang
+        |    AND y.bkt BETWEEN x.bkt-1 AND x.bkt+1
+        |    AND x.doc_id < y.doc_id AND abs(x.n_chars-y.n_chars) <= 8)
+        |SELECT a, b, CAST(levenshtein(pa,vb) AS BIGINT) dist FROM cand
+        |WHERE levenshtein(pa,vb) <= 8 ORDER BY a, b""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim

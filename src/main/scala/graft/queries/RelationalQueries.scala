@@ -418,6 +418,22 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Q31 rank-family completeness — ntile/percent_rank/cume_dist in one
+    * window. Determinism: the window orders by the unique o_orderkey, so
+    * rank == row_number and the rank ratios are exact integer divisions —
+    * both engines produce bit-identical doubles with no rounding step.
+    * ntile is INT in Spark vs BIGINT in DuckDB (cast). */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -451,6 +467,7 @@ object RelationalQueries {
     "q28_grouping_sets" -> (q28 _),
     "q29_range_frame" -> (q29 _),
     "q30_first_last" -> (q30 _),
+    "q31_rank_family" -> (q31 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -670,5 +687,13 @@ object RelationalQueries {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
+    "q31_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority AS pri,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -68,7 +68,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("D03/D04/S02: candidate joins are equi-joins, never all-pairs") {
     for (q <- Seq("d03_dedup_minhash_lsh", "d04_dedup_simhash",
-        "s02_ann_lsh_topk")) {
+        "s02_ann_lsh_topk", "d09_edit_distance")) {
       val plan = planOf(LlmQueries.all(q)(spark, sf0001))
       assert(!plan.contains("CartesianProduct"),
         s"$q plans a cartesian:\n$plan")
