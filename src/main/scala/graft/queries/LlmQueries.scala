@@ -458,6 +458,43 @@ object LlmQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** P04: data-mixture builder — the step that turns "train on 40% en,
+    * the rest split evenly" into per-language keep quotas and a
+    * deterministic document selection. Quota math is exact integer
+    * rationals (target fraction num/den, feasible corpus size
+    * N = min over langs of n_l·den_l div num_l, quota_l = N·num_l div
+    * den_l) so both engines agree without float thresholds; selection is
+    * the r02 hash-rank machinery (smallest fingerprints up to the quota —
+    * reproducible across retries/engines/layouts).
+    *
+    * Scale shape: the per-lang count/quota table is k rows (broadcast);
+    * the corpus pays one window rank per stratum. The quota is dynamic
+    * per group, so Spark's static WindowGroupLimit cannot apply — at
+    * 100 TB swap the rank for a two-pass hash-threshold select (count →
+    * per-group k-th-smallest-hash cutoff → stateless filter). */
+  def p04DataMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("h"))
+    val all = Window.partitionBy()
+    val quotas = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("num", when(col("lang") === "en", 2L).otherwise(3L))
+      .withColumn("den", when(col("lang") === "en", lit(5L))
+        .otherwise(lit(5L) * (col("k") - 1)))
+      .withColumn("cap", expr("n_in * den div num"))
+      .withColumn("bigN", min(col("cap")).over(all))
+      .withColumn("quota", expr("bigN * num div den"))
+      .select(col("lang"), col("n_in"), col("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(quotas), Seq("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .groupBy(col("lang"), col("n_in"), col("quota"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("keep_min"), max(col("doc_id")).as("keep_max"))
+      .orderBy(col("lang"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -1055,6 +1092,7 @@ object LlmQueries {
     "p01_curation_pipeline" -> (p01CurationPipeline _),
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
+    "p04_data_mixture" -> (p04DataMixture _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
@@ -1371,6 +1409,33 @@ object LlmQueries {
         |  FROM h)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
+    "p04_data_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) h
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) n_in FROM d GROUP BY lang),
+        |q AS (SELECT lang, n_in,
+        |    CASE WHEN lang='en' THEN 2 ELSE 3 END num,
+        |    CASE WHEN lang='en' THEN 5
+        |         ELSE 5*((SELECT count(*) FROM c)-1) END den
+        |  FROM c),
+        |q2 AS (SELECT lang, n_in, num, den, n_in*den//num cap FROM q),
+        |q4 AS (SELECT lang, n_in,
+        |    (SELECT min(cap) FROM q2)*num//den quota FROM q2),
+        |r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) rk
+        |  FROM d),
+        |kept AS (SELECT r.lang, r.doc_id FROM r
+        |         JOIN q4 USING (lang) WHERE rk <= quota)
+        |SELECT q4.lang, CAST(q4.n_in AS BIGINT) n_in,
+        |       CAST(q4.quota AS BIGINT) quota,
+        |       CAST(count(k.doc_id) AS BIGINT) n_kept,
+        |       min(k.doc_id) keep_min, max(k.doc_id) keep_max
+        |FROM q4 LEFT JOIN kept k ON k.lang = q4.lang
+        |GROUP BY q4.lang, q4.n_in, q4.quota
+        |ORDER BY q4.lang""".stripMargin,
     "p03_export_manifest" ->
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
