@@ -495,6 +495,22 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  /** L01: Z-order layout keys — the Morton key of (char-length band,
+    * token-count band) per document plus its 8-way file bucket
+    * ([[graft.operators.ZOrder]]). Sorting an export by this key gives
+    * parquet min/max data skipping on BOTH dimensions at once, where the
+    * single-key sort only prunes one — the layout move for corpora
+    * filtered by more than one axis. Pure shift/mask arithmetic, so the
+    * oracle replays the key bit-for-bit. */
+  def l01ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      col("n_chars").bitwiseAND(lit(255L)).as("za"),
+      size(tokens(col("text"))).cast("long").bitwiseAND(lit(255L)).as("zb"))
+    d.withColumn("zkey", graft.operators.ZOrder.zValue(col("za"), col("zb"), 8))
+      .withColumn("bucket", expr("zkey div 8192"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -1093,6 +1109,7 @@ object LlmQueries {
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
     "p04_data_mixture" -> (p04DataMixture _),
+    "l01_zorder_layout" -> (l01ZorderLayout _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
@@ -1436,6 +1453,19 @@ object LlmQueries {
         |FROM q4 LEFT JOIN kept k ON k.lang = q4.lang
         |GROUP BY q4.lang, q4.n_in, q4.quota
         |ORDER BY q4.lang""".stripMargin,
+    "l01_zorder_layout" ->
+      """WITH words AS (SELECT doc_id, n_chars,
+        |    string_split_regex(trim(text), '\s+') w FROM documents),
+        |d AS (SELECT doc_id, n_chars % 256 za, len(w) % 256 zb FROM words),
+        |z AS (SELECT doc_id, za, zb,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 8), i ->
+        |      (((za >> i) & 1) << (2*i)) + (((zb >> i) & 1) << (2*i+1)))),
+        |    (a,b)->a+b) AS BIGINT) zkey
+        |  FROM d)
+        |SELECT doc_id, CAST(za AS BIGINT) AS za, CAST(zb AS BIGINT) AS zb,
+        |       zkey, zkey // 8192 AS bucket
+        |FROM z ORDER BY doc_id""".stripMargin,
     "p03_export_manifest" ->
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

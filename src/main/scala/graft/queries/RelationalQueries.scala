@@ -434,6 +434,21 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q32 multiset set-ops — INTERSECT ALL / EXCEPT ALL (q09 covers the
+    * distinct forms). Multiplicity preserved: a part key appearing 3× on
+    * one side and 2× on the other survives INTERSECT ALL twice. Output
+    * rows are (op, key) duplicates — deterministic under the total sort
+    * because duplicate rows are indistinguishable. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.where(col("l_quantity") > 45).select(col("l_partkey"))
+    val b = li.where(col("l_discount") > lit(0.08)).select(col("l_partkey"))
+    a.intersectAll(b).select(lit("ia").as("op"), col("l_partkey"))
+      .unionAll(
+        a.exceptAll(b).select(lit("ea").as("op"), col("l_partkey")))
+      .orderBy(col("op"), col("l_partkey"))
+  }
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -468,6 +483,7 @@ object RelationalQueries {
     "q29_range_frame" -> (q29 _),
     "q30_first_last" -> (q30 _),
     "q31_rank_family" -> (q31 _),
+    "q32_multiset_ops" -> (q32 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -695,5 +711,16 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q32_multiset_ops" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.08),
+        |ia AS (SELECT l_partkey FROM a INTERSECT ALL
+        |       SELECT l_partkey FROM b),
+        |ea AS (SELECT l_partkey FROM a EXCEPT ALL
+        |       SELECT l_partkey FROM b)
+        |SELECT 'ia' AS op, l_partkey FROM ia
+        |UNION ALL
+        |SELECT 'ea' AS op, l_partkey FROM ea
+        |ORDER BY op, l_partkey""".stripMargin,
   )
 }
