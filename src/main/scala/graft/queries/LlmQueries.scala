@@ -441,6 +441,41 @@ object LlmQueries {
           .as("kmv_est"))
       .orderBy(col("lang"))
 
+  /** A03: Count-Min frequency sketch — estimated counts for the top-20
+    * tokens next to their exact counts. The CMS table is 4 rows × W
+    * cells of pure counter sums, so it is commutative/associative
+    * (map-side partial agg, order-independent — unlike Misra-Gries-style
+    * sketches whose state depends on arrival order, CMS is exactly
+    * replayable in the oracle). estimate = min over rows of the token's
+    * cell counter, always ≥ exact; collisions show up as the overshoot.
+    * Scale shape: building the sketch is one shuffle of (row, cell)
+    * pairs into 4096 cells REGARDLESS of corpus size — the
+    * frequency-table move when the exact groupBy (t06) is too wide.
+    * Width 32 is deliberately small for this vocabulary so collisions
+    * actually occur and the overshoot is exercised, not just claimed. */
+  def a03CmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val W = 32L
+    def cellsOf(f: Column) = array((0 until 4).map(i =>
+      (f * (2 * i + 3) + (11 + i)) % Mod % W): _*)
+    val toks = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(col("tok"), fingerprint(col("tok")).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cms = toks
+      .select(posexplode(cellsOf(col("f"))).as(Seq("i", "cell")))
+      .groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("tok"), col("f"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(20)
+    top.select(col("tok"), col("n_exact"),
+        posexplode(cellsOf(col("f"))).as(Seq("i", "cell")))
+      .join(cms, Seq("i", "cell"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+  }
+
   /** R02: fixed-size deterministic sample — exactly min(20, group size)
     * docs per language, chosen as the 20 smallest text fingerprints
     * (ties broken by doc_id). Rate-based sampling (r01) cannot promise a
@@ -1113,6 +1148,7 @@ object LlmQueries {
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
+    "a03_cms_freq" -> (a03CmsFreq _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
@@ -1414,6 +1450,32 @@ object LlmQueries {
         |        ELSE 63.0 * 1000000007 / kth.hk END, 4) AS kmv_est
         |FROM cnt LEFT JOIN kth ON kth.lang = cnt.lang
         |ORDER BY cnt.lang""".stripMargin,
+    "a03_cms_freq" ->
+      """WITH words AS (SELECT string_split_regex(trim(text), '\s+') w
+        |               FROM documents),
+        |tk AS (SELECT UNNEST(w) tok FROM words),
+        |tf AS (SELECT tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(tok,'')]),
+        |      (a,b)->(a*31+b)%1000000007) f
+        |  FROM tk),
+        |cells AS (SELECT f, UNNEST(range(0,4)) i FROM tf),
+        |cc AS (SELECT i, (f*(2*i+3)+(11+i)) % 1000000007 % 32 cell,
+        |              count(*) c
+        |       FROM cells GROUP BY 1, 2),
+        |exact AS (SELECT tok, f, count(*) n FROM tf GROUP BY tok, f),
+        |top AS (SELECT tok, f, n FROM (
+        |    SELECT tok, f, n,
+        |      ROW_NUMBER() OVER (ORDER BY n DESC, tok) rk FROM exact) t
+        |  WHERE rk <= 20),
+        |probe AS (SELECT tok, n, i,
+        |    (f*(2*i+3)+(11+i)) % 1000000007 % 32 cell
+        |  FROM top CROSS JOIN (SELECT UNNEST(range(0,4)) i))
+        |SELECT p.tok, CAST(p.n AS BIGINT) n_exact,
+        |       CAST(min(cc.c) AS BIGINT) n_cms
+        |FROM probe p JOIN cc ON cc.i = p.i AND cc.cell = p.cell
+        |GROUP BY p.tok, p.n
+        |ORDER BY n_exact DESC, p.tok""".stripMargin,
     "r02_topk_sample" ->
       """WITH h AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
