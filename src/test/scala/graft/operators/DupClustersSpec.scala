@@ -37,6 +37,39 @@ class DupClustersSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("random graphs match a union-find ground truth") {
+    // deterministic pseudo-random edge lists over 40 vertices; the
+    // distributed label propagation must agree with local union-find
+    // on every component assignment
+    var state = 12345L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val nEdges = 10 + nextInt(40)
+      val edges = Seq.fill(nEdges) {
+        val a = nextInt(40).toLong; val b = nextInt(40).toLong
+        if (a < b) (a, b) else (b, a + 1) // avoid self-loops
+      }
+      // local union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = DupClusters.clusters(pairsDf(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges $edges")
+    }
+  }
+
   test("long chain converges within the iteration cap") {
     // path 0-1-2-...-30: worst-case diameter for min-label propagation
     val pairs = pairsDf((0L until 30L).map(i => i -> (i + 1)): _*)
