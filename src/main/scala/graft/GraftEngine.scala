@@ -114,13 +114,24 @@ object Cli {
       case Some("curate") =>
         // batch curation over a documents parquet dir: the full p01
         // pipeline (language vote → quality floor → exact dedup →
-        // MinHash-LSH near-dup removal), written as parquet
+        // MinHash-LSH near-dup removal), written as parquet; with
+        // --shards N the output is a TrainingExport instead — content-
+        // keyed sorted shard dirs plus the verifiable checksum manifest
         val in = opts("in")
         val out = opts("out")
         val result = graft.queries.LlmQueries.all("p01_curation_pipeline")(
           spark, in.stripSuffix("/documents.parquet").stripSuffix("/"))
-        result.write.mode("overwrite").parquet(out)
-        println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
+        opts.get("shards") match {
+          case Some(n) =>
+            graft.operators.TrainingExport.export(
+              result, key = "doc_id", outDir = out, nShards = n.toInt)
+            val ok = graft.operators.TrainingExport.verify(spark, out, "doc_id")
+            println(s"exported ${spark.read.parquet(out).count()} docs " +
+              s"-> $out in $n shards (manifest verify: $ok)")
+          case None =>
+            result.write.mode("overwrite").parquet(out)
+            println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
+        }
       case other =>
         System.err.println(
           s"""usage: graft.Cli <command> [--opt value ...]
@@ -129,7 +140,7 @@ object Cli {
              |  watch-voevent --file VOEVENT_XML
              |  watchlist
              |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
-             |  curate    --in SF_DIR --out PARQUET_DIR
+             |  curate    --in SF_DIR --out PARQUET_DIR [--shards N]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }
