@@ -652,6 +652,25 @@ object LlmQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** D10: LSH recall evaluation — the accuracy readout for the scale
+    * path: of all exact-tier near-dup pairs (d02, Jaccard ≥ 0.8), what
+    * fraction did the banded MinHash-LSH candidates (d03) find? d03
+    * exact-verifies its candidates, so its pairs are a subset of d02's
+    * and the ratio IS the LSH recall (16 perms / 4×4 bands ⇒ a 0.8-similar
+    * pair escapes only if no band matches). The dedup twin of s05's ANN
+    * recall — run it before trusting the scale tier on a new corpus. */
+  def d10LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = jaccardPairs(shingleFps(d)).where(col("jac") >= 0.8d)
+      .select(col("a"), col("b"))
+    val lsh = minhashNearDupPairs(d).select(col("a"), col("b"))
+    exact.join(lsh, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_exact"), col("n_found"),
+        round(col("n_found") * lit(1.0d) / col("n_exact"), 4).as("recall"))
+  }
+
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
     * Hamming distance ≤ 5.
@@ -1136,6 +1155,7 @@ object LlmQueries {
     "d07_decontaminate" -> (d07Decontaminate _),
     "d08_dup_clusters" -> (d08DupClusters _),
     "d09_edit_distance" -> (d09EditDistance _),
+    "d10_lsh_recall" -> (d10LshRecall _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
@@ -1623,6 +1643,16 @@ object LlmQueries {
         |    AND x.doc_id < y.doc_id AND abs(x.n_chars-y.n_chars) <= 8)
         |SELECT a, b, CAST(levenshtein(pa,vb) AS BIGINT) dist FROM cand
         |WHERE levenshtein(pa,vb) <= 8 ORDER BY a, b""".stripMargin,
+    "d10_lsh_recall" ->
+      s"""WITH $JAC,
+         |$LSHCAND,
+         |ex AS (SELECT a, b FROM jac WHERE jac >= 0.8),
+         |found AS (SELECT ex.a, ex.b FROM ex
+         |          JOIN cand ON cand.a = ex.a AND cand.b = ex.b)
+         |SELECT (SELECT count(*) FROM ex) n_exact,
+         |       (SELECT count(*) FROM found) n_found,
+         |       round((SELECT count(*) FROM found) * 1.0 /
+         |             (SELECT count(*) FROM ex), 4) recall""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim
