@@ -56,6 +56,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial KMV aggregate under the shuffle:\n$plan")
   }
 
+  test("P04: the quota table broadcasts (corpus never shuffles for it)") {
+    val plan = planOf(LlmQueries.all("p04_data_mixture")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("A03: CMS probe join is an equi-join, never a cartesian") {
+    val plan = planOf(LlmQueries.all("a03_cms_freq")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("Q07: aggregation is partial (map-side combine before the shuffle)") {
     val plan = planOf(RelationalQueries.q07(spark, sf0001))
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"))

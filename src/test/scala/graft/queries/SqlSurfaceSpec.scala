@@ -83,6 +83,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql === viaOp)
   }
 
+  test("LATERAL correlated subquery decorrelates like the window top-k") {
+    assert(ready)
+    val viaSql = spark.sql(
+      """SELECT c.o_custkey, t.o_orderkey
+        |FROM (SELECT DISTINCT o_custkey FROM orders) c,
+        |LATERAL (SELECT o_orderkey FROM orders o
+        |         WHERE o.o_custkey = c.o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c.o_custkey, t.o_orderkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDf = RelationalQueries.all("q10_rank_window")(spark, sf0001)
+      .drop("rk").orderBy("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("kmv_distinct is callable from SQL and matches the a02 operator") {
     assert(ready)
     graft.plans.GraftExtensions.register(spark)
