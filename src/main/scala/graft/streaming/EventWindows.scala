@@ -36,6 +36,26 @@ object EventWindows {
       .dropDuplicatesWithinWatermark("event_type", "user_id")
       .select(col("event_type"), col("user_id"), col("ts"))
 
+  /** Windowed approximate distinct users per event type — the KMV sketch
+    * ([[graft.functions.KmvSketch]]) inside an event-time window. The
+    * sketch's merge is what makes this work: partial buffers combine
+    * across micro-batches and tasks, so state per (window, event_type) is
+    * one k-long buffer instead of a distinct-user set — the bounded-state
+    * answer when per-window cardinalities are too large for exact
+    * `dropDuplicates` state. Estimates are identical to the batch a02
+    * aggregate over the same rows (order-independent by construction). */
+  def windowedDistinctUsers(events: DataFrame,
+      windowLength: String = "1 hour", watermark: String = "10 minutes",
+      k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(graft.functions.KmvSketch.column(
+        graft.functions.TextFunctions.fingerprint(
+          col("user_id").cast("string")), k).as("approx_users"))
+      .select(col("window.start").as("w"), col("event_type"),
+        col("approx_users"))
+
   /** Streaming sessionization — the streaming form of batch query Q21:
     * `session_window` keeps ONE open (merging) session per user in state,
     * closes it when the watermark passes its end + gap, and emits exactly

@@ -101,6 +101,36 @@ class EventWindowsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed KMV distinct merges across micro-batches and matches " +
+      "the batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val mem = MemoryStream[Ev](spark, 1)
+    val q = EventWindows.windowedDistinctUsers(mem.toDF(),
+      windowLength = "10 minutes", watermark = "5 minutes", k = 8)
+      .writeStream.format("memory").queryName("kmv_win")
+      .outputMode("append").start()
+    // 30 users for one window, spread over TWO micro-batches so the
+    // sketch must merge partial buffers across batches
+    val b1 = (1 to 15).map(u => Ev(u, ts(1), 100 + u, "click", 1.0))
+    val b2 = (16 to 30).map(u => Ev(u, ts(4), 100 + u, "click", 1.0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(Ev(99, ts(20), 999, "view", 1.0)) // close the window
+    q.processAllAvailable()
+    val got = spark.table("kmv_win")
+      .where(col("event_type") === "click").collect()
+    assert(got.length == 1)
+    val streamed = got.head.getAs[Double]("approx_users")
+    val batch = (b1 ++ b2).toDF()
+      .agg(graft.functions.KmvSketch.column(
+        graft.functions.TextFunctions.fingerprint(
+          col("user_id").cast("string")), 8))
+      .as[Double].head()
+    assert(streamed === batch)
+    q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per (type, user)") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark, 1)
