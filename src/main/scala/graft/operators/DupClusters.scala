@@ -56,13 +56,21 @@ object DupClusters {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-      labels.unpersist()
+      // the old round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference
+      // (Dataset.unpersist would be a no-op — localCheckpoint blocks are
+      // not CacheManager entries)
       labels = next
       done = changed == 0
       iter += 1
     }
     edges.unpersist()
     p.unpersist()
+    // silent non-convergence would assign MULTIPLE canonicals to one
+    // component and deduplicate() would keep extra copies — fail loudly
+    require(done, s"label propagation did not converge within $maxIter " +
+      "rounds (component diameter exceeds the cap); raise maxIter or " +
+      "switch to large-star/small-star contraction for chain-shaped graphs")
     labels
   }
 

@@ -32,9 +32,13 @@ object TrainingExport {
 
   /** Per-row content checksum: fingerprint of all columns (in the frame's
     * column order) joined on U+0001 — a separator that cannot occur in the
-    * data keeps ("ab","c") and ("a","bc") from hashing alike. */
+    * data keeps ("ab","c") and ("a","bc") from hashing alike. NULLs map to
+    * a U+0002 sentinel (concat_ws would silently SKIP them, making
+    * (NULL,"a") and ("a",NULL) hash alike and hiding null-shift
+    * corruption from the checksum). */
   private[graft] def rowFp(df: DataFrame) =
-    fingerprint(concat_ws("\u0001", df.columns.map(c => col(c).cast("string")): _*))
+    fingerprint(concat_ws("\u0001", df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0002"))): _*))
 
   /** The manifest frame for `df` under a `nShards` content-keyed layout —
     * one row per shard: (shard, n_rows, checksum, key_min, key_max). Pure
@@ -59,7 +63,10 @@ object TrainingExport {
       .sortWithinPartitions(col("shard"), col(key))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(outDir)
-    val manifest = manifestOf(df, key, nShards)
+    // manifest from the files just WRITTEN, not from re-running the input
+    // plan: half the cost when df is an expensive pipeline, and the
+    // checksums describe what is actually on disk
+    val manifest = audit(df.sparkSession, outDir, key)
     manifest.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/_manifest")
     manifest

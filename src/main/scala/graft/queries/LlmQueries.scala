@@ -521,12 +521,20 @@ object LlmQueries {
       .withColumn("quota", expr("bigN * num div den"))
       .select(col("lang"), col("n_in"), col("quota"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    d.join(broadcast(quotas), Seq("lang"))
+    val kept = d.join(broadcast(quotas.select(col("lang"), col("quota"))),
+        Seq("lang"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= col("quota"))
-      .groupBy(col("lang"), col("n_in"), col("quota"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         min(col("doc_id")).as("keep_min"), max(col("doc_id")).as("keep_max"))
+    // left join from quotas: a starved stratum (quota 0 — possible when a
+    // minority language cannot support the target mix) must still appear
+    // in the report with n_kept = 0, matching the oracle's LEFT JOIN
+    quotas.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_in"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("keep_min"), col("keep_max"))
       .orderBy(col("lang"))
   }
 
@@ -668,7 +676,12 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_found"))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .select(col("n_exact"), col("n_found"),
-        round(col("n_found") * lit(1.0d) / col("n_exact"), 4).as("recall"))
+        // vacuous recall = 1.0 when there are no exact pairs (a new-corpus
+        // run with zero dups must not divide by zero — and Spark's NULL
+        // vs DuckDB's x/0 behavior would diverge)
+        when(col("n_exact") === 0L, lit(1.0d))
+          .otherwise(round(col("n_found") * lit(1.0d) / col("n_exact"), 4))
+          .as("recall"))
   }
 
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
@@ -1552,7 +1565,9 @@ object LlmQueries {
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
-        |        CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || text,
+        |        coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+        |        coalesce(lang, chr(2)) || chr(1) ||
+        |        coalesce(text, chr(2)),
         |        '')]),
         |      (a,b)->(a*31+b)%1000000007) AS rfp,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1651,8 +1666,10 @@ object LlmQueries {
          |          JOIN cand ON cand.a = ex.a AND cand.b = ex.b)
          |SELECT (SELECT count(*) FROM ex) n_exact,
          |       (SELECT count(*) FROM found) n_found,
-         |       round((SELECT count(*) FROM found) * 1.0 /
-         |             (SELECT count(*) FROM ex), 4) recall""".stripMargin,
+         |       CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
+         |            ELSE round((SELECT count(*) FROM found) * 1.0 /
+         |                       (SELECT count(*) FROM ex), 4)
+         |       END recall""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim

@@ -26,8 +26,9 @@ class BucketedJoinSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange"),
         s"bucketed join should read co-located buckets, not shuffle:\n$plan")
-      assert(!plan.contains("Sort ") || !plan.split("\n")
-        .exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith(":- Sort")),
+      // "Sort [" matches any standalone Sort node (plain or codegen'd
+      // "*(n) Sort [") but not "SortMergeJoin ["
+      assert(!plan.contains("Sort ["),
         s"sortBy layout should satisfy the merge-join ordering:\n$plan")
       // and the result is still correct
       val viaBuckets = joined.agg(count(lit(1))).head().getLong(0)
