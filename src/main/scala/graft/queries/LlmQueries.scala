@@ -814,6 +814,34 @@ object LlmQueries {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** S06: FILTERED vector search — top-k among only the vectors whose
+    * document satisfies a metadata predicate (lang = 'en'), the
+    * RAG-retrieval shape ("nearest English docs"). The filter applies
+    * BEFORE the similarity scan (semi-join on the keep list), not after
+    * the top-k — post-filtering returns < k rows whenever the filter
+    * removes neighbors; pre-filtering is also the scale win, since the
+    * keep list is the pushdown that shrinks the scored corpus. */
+  def s06AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val keep = docs(s, dir).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val e = emb(s, dir).join(keep, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb(s, dir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val scored = q.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
   /** S02: LSH-bucketed ANN — 4 deterministic hyperplane sign bits put each
     * vector in one of 16 buckets; search only within the query's bucket.
     * At 100 TB: bucket is the shuffle/partition key, queries broadcast to
@@ -1187,6 +1215,7 @@ object LlmQueries {
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
     "s04_ann_ivfpq_topk" -> (s04AnnIvfPqTopK _),
     "s05_ann_recall" -> (s05AnnRecall _),
+    "s06_ann_filtered" -> (s06AnnFiltered _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -1702,6 +1731,16 @@ object LlmQueries {
         |FROM pairs WHERE sim >= 0.4
         |GROUP BY removed_id ORDER BY removed_id""".stripMargin,
     "s01_ann_cosine_topk" -> S01Sql,
+    "s06_ann_filtered" ->
+      s"""WITH $EMB,
+         |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |ranked AS (SELECT a q, b nb, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b)
+         |         AS INTEGER) rk
+         |  FROM pair_sim JOIN en ON en.doc_id = b
+         |  WHERE a < 10 AND a <> b)
+         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+         |ORDER BY q, rk""".stripMargin,
     "s02_ann_lsh_topk" ->
       s"""WITH $EMB,
          |bkt AS (SELECT vec_id, v,

@@ -449,6 +449,21 @@ object RelationalQueries {
       .orderBy(col("op"), col("l_partkey"))
   }
 
+  /** Q33 UNPIVOT — melt the q25-style wide shape back to long form
+    * (pivot's inverse completes the reshaping family). Absent
+    * combinations are zero-filled BEFORE the melt on both engines: Spark
+    * pivot yields NULL cells where DuckDB's FILTERed counts yield 0, and
+    * unpivot would otherwise carry the difference into the rows. */
+  def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O"))
+      .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+        "l_linestatus", "cnt")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** name → query fn, for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (q01 _),
@@ -484,6 +499,7 @@ object RelationalQueries {
     "q30_first_last" -> (q30 _),
     "q31_rank_family" -> (q31 _),
     "q32_multiset_ops" -> (q32 _),
+    "q33_unpivot" -> (q33 _),
   )
 
   /** DuckDB-dialect oracle SQL, value- and type-aligned with the frames
@@ -722,5 +738,13 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'ea' AS op, l_partkey FROM ea
         |ORDER BY op, l_partkey""".stripMargin,
+    "q33_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |    count(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, l_linestatus, cnt FROM
+        |  (UNPIVOT wide ON F, O INTO NAME l_linestatus VALUE cnt)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }
