@@ -441,6 +441,21 @@ object LlmQueries {
           .as("kmv_est"))
       .orderBy(col("lang"))
 
+  /** T10: text canonicalization — the normalize-before-dedup step (lower,
+    * trim, collapse runs of whitespace to one space). Exact dedup on raw
+    * bytes misses trivially reformatted copies; deduping on the canonical
+    * fingerprint catches them. Output: the canonical-form fingerprint and
+    * how many characters normalization removed — both deterministic, both
+    * replayed by the oracle (DuckDB regexp_replace needs the 'g' flag to
+    * match Spark's replace-all default). */
+  def t10Normalize(s: SparkSession, dir: String): DataFrame = {
+    val canon = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    docs(s, dir).select(col("doc_id"),
+        fingerprint(canon).as("canon_fp"),
+        (length(col("text")) - length(canon)).cast("long").as("delta_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A03: Count-Min frequency sketch — estimated counts for the top-20
     * tokens next to their exact counts. The CMS table is 4 rows × W
     * cells of pure counter sums, so it is commutative/associative
@@ -1201,6 +1216,7 @@ object LlmQueries {
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
     "t09_repetition" -> (t09Repetition _),
+    "t10_normalize" -> (t10Normalize _),
     "p01_curation_pipeline" -> (p01CurationPipeline _),
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
@@ -1512,6 +1528,16 @@ object LlmQueries {
         |        ELSE 63.0 * 1000000007 / kth.hk END, 4) AS kmv_est
         |FROM cnt LEFT JOIN kth ON kth.lang = cnt.lang
         |ORDER BY cnt.lang""".stripMargin,
+    "t10_normalize" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) canon
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(canon,'')]),
+        |    (a,b)->(a*31+b)%1000000007) AS canon_fp,
+        |  CAST(length(text) - length(canon) AS BIGINT) AS delta_len
+        |FROM c ORDER BY doc_id""".stripMargin,
     "a03_cms_freq" ->
       """WITH words AS (SELECT string_split_regex(trim(text), '\s+') w
         |               FROM documents),
