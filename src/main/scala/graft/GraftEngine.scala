@@ -119,8 +119,16 @@ object Cli {
         // keyed sorted shard dirs plus the verifiable checksum manifest
         val in = opts("in")
         val out = opts("out")
-        val result = graft.queries.LlmQueries.all("p01_curation_pipeline")(
-          spark, in.stripSuffix("/documents.parquet").stripSuffix("/"))
+        val sfDir = in.stripSuffix("/documents.parquet").stripSuffix("/")
+        val kept = graft.queries.LlmQueries.all("p01_curation_pipeline")(
+          spark, sfDir)
+        // p01 returns only (doc_id, n_tokens, quality) — the oracle's
+        // shape. A curated CORPUS must carry the documents themselves, so
+        // join the surviving ids back to the source table for the payload
+        // columns before writing/exporting.
+        val result = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .join(kept, Seq("doc_id"))
         opts.get("shards") match {
           case Some(n) =>
             graft.operators.TrainingExport.export(

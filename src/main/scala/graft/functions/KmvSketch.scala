@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions.udaf
   */
 class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double]
     with Serializable {
+  // the estimator divides by the k-th smallest hash and k=1 degenerates
+  // to 0 · M / h_1 = 0 for every group — fail construction, not mid-agg
+  require(k >= 2, s"kmv needs k >= 2 (got $k)")
 
   override def zero: Array[Long] = Array.emptyLongArray
 

@@ -44,6 +44,69 @@ object ImageSocketClient {
     out.array()
   }
 
+  /** Build the protobuf `epic_image` wire payload — byte-compatible with
+    * the reference producer (uds_client.py:87-98: `epic_image(header=hdr,
+    * image_cube=data.tobytes()).SerializeToString()`). `header` is the
+    * JSON list [primary FITS string, image FITS string, metadata JSON
+    * string] with Python's `json.dumps` default separators, the two
+    * headers rendered as 80-char FITS card runs (astropy
+    * `Header.tostring()` layout). */
+  def encodeProto(primaryHdr: Map[String, String], imgHdr: Map[String, String],
+      shape: Seq[Int], image: Array[Float]): Array[Byte] = {
+    val strides = shape.scanRight(4L)((d, acc) => acc * d).tail
+    val meta = s"""{"dtype": "float32", "shape": [${shape.mkString(", ")}],""" +
+      s""" "strides": [${strides.mkString(", ")}]}"""
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val header = "[" + Seq(fitsString(primaryHdr), fitsString(imgHdr), meta)
+      .map(jstr).mkString(", ") + "]"
+    val headerBytes = header.getBytes(StandardCharsets.UTF_8)
+    val cube = ByteBuffer.allocate(image.length * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    image.foreach(cube.putFloat)
+
+    def varintLen(v: Long): Int = {
+      var n = 1; var x = v >>> 7
+      while (x != 0) { n += 1; x >>>= 7 }
+      n
+    }
+    val out = ByteBuffer.allocate(
+      1 + varintLen(headerBytes.length) + headerBytes.length +
+        1 + varintLen(image.length * 4) + image.length * 4)
+    def putVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) {
+        out.put(((v & 0x7F) | 0x80).toByte); v >>>= 7
+      }
+      out.put(v.toByte)
+    }
+    out.put(0x0A.toByte); putVarint(headerBytes.length) // field 1: header
+    out.put(headerBytes)
+    out.put(0x12.toByte); putVarint(image.length * 4)   // field 2: image_cube
+    out.put(cube.array())
+    out.array()
+  }
+
+  /** Render a key→value map as a FITS header string: 80-char cards,
+    * `KEYWORD = value`, strings quoted ('' escapes '), END card, padded
+    * with blanks to a 2880-byte block like astropy's `tostring()`. */
+  def fitsString(m: Map[String, String]): String = {
+    def numeric(v: String) =
+      v.nonEmpty && v.matches("[+-]?[0-9]+(\\.[0-9]*)?([eE][+-]?[0-9]+)?")
+    val cards = m.map { case (k, v) =>
+      require(k.length <= 8, s"FITS keyword too long: $k")
+      require(v.length <= 67, s"FITS value too long for one card: $v")
+      val value =
+        if (numeric(v) || v == "T" || v == "F") v.reverse.padTo(20, ' ').reverse
+        else {
+          val quoted = "'" + v.replace("'", "''").padTo(8, ' ') + "'"
+          quoted.padTo(20, ' ')
+        }
+      (k.padTo(8, ' ') + "= " + value).padTo(80, ' ')
+    }.mkString + "END".padTo(80, ' ')
+    cards + " " * ((2880 - cards.length % 2880) % 2880)
+  }
+
   /** Handshake + chunked send of one frame over UDS. */
   def sendUds(socketPath: String, payload: Array[Byte],
       chunkSize: Int = 65536): Unit = {

@@ -37,11 +37,16 @@ import graft.epic.EpicPipeline
   *   2. server replies `proceed`;
   *   3. client streams exactly payload_size bytes (1 MiB reads server-side).
   *
-  * Payload layout (replaces the reference's protobuf `epic_image`,
-  * epic_grpc/epic_image.proto:26-29 — same content, no protobuf dep):
-  *   4-byte BE header length · UTF-8 JSON
-  *   `[primary_hdr{}, img_hdr{}, {"dtype","shape"}]` · raw little-endian
-  *   float32 cube bytes.
+  * Two payload layouts are accepted on the same socket (sniffed by first
+  * byte, see [[ImageFrameDecoder]]):
+  *   - protobuf `epic_image` (epic_grpc/epic_image.proto:26-29), exactly
+  *     as the reference producer frames it (uds_client.py:87-98) — an
+  *     unmodified reference client connects drop-in; parsed by a
+  *     hand-rolled varint reader, no protobuf dependency;
+  *   - the JSON layout: 4-byte BE header length · UTF-8 JSON
+  *     `[primary_hdr{}, img_hdr{}, {"dtype","shape"}]` · raw little-endian
+  *     float32 cube bytes (same content, cheaper to produce from JVM
+  *     clients).
   *
   * Decode happens in the executor-side PartitionReader (S3,
   * uds_server.py:84-120), including the size == prod(shape) integrity
@@ -451,10 +456,20 @@ object ImageFrameDecoder {
       new GenericArrayData(vals.toArray[Any]))
   }
 
+  /** Wire-format sniff: a protobuf `epic_image` message always starts with
+    * the field-1 tag byte 0x0A (`header`, wire type 2), while the JSON
+    * layout starts with a 4-byte BE header length — a leading 0x0A there
+    * would declare a ≥167 MB header JSON, which the layout never produces.
+    * Both framings are accepted on the same socket. */
+  private def isProto(payload: Array[Byte]): Boolean =
+    payload.nonEmpty && payload(0) == 0x0A
+
   /** Parsed header prefix: (primary map, img map, dtype, shape,
-    * cube-bytes offset). Shared by both decode variants. */
+    * cube-bytes offset, cube-bytes length). Shared by both decode
+    * variants; dispatches on the wire framing. */
   private def parseHeader(payload: Array[Byte])
-      : (ArrayBasedMapData, ArrayBasedMapData, String, Seq[Int], Int) = {
+      : (ArrayBasedMapData, ArrayBasedMapData, String, Seq[Int], Int, Int) = {
+    if (isProto(payload)) return parseProtoHeader(payload)
     val buf = ByteBuffer.wrap(payload)
     val headerLen = buf.getInt
     val headerBytes = new Array[Byte](headerLen)
@@ -469,7 +484,135 @@ object ImageFrameDecoder {
     require(dtype == "float32", s"unsupported dtype: $dtype")
     val shapeNode = meta.get("shape")
     val shape = (0 until shapeNode.size()).map(shapeNode.get(_).asInt())
-    (primary, img, dtype, shape, 4 + headerLen)
+    (primary, img, dtype, shape, 4 + headerLen,
+      payload.length - 4 - headerLen)
+  }
+
+  // ---- protobuf `epic_image` framing (S2/S3 wire parity) ----------------
+  //
+  // The reference producer serializes `epic_image(header=…, image_cube=…)`
+  // (epic_grpc/epic_image.proto:26-29; built at uds_client.py:87-98) and
+  // ships it through the same two-phase handshake. The message has two
+  // length-delimited fields, so a ~40-line varint reader gives full wire
+  // parity with no protobuf dependency:
+  //   field 1 `header`      — UTF-8 string: json list
+  //     [primary_hdr.tostring(), img_hdr.tostring(), json{dtype,shape,strides}]
+  //     (FITS 80-char card runs for the two headers; the metadata element
+  //     is itself a JSON string, parsed again — uds_server.py:92-96)
+  //   field 2 `image_cube`  — raw ndarray bytes (float32 LE)
+
+  /** Protobuf varint at `pos0`; returns (value, next position). */
+  private def varint(b: Array[Byte], pos0: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var pos = pos0; var more = true
+    while (more) {
+      require(pos < b.length && shift < 64, "truncated protobuf varint")
+      val x = b(pos)
+      v |= (x & 0x7FL) << shift
+      shift += 7; pos += 1
+      more = (x & 0x80) != 0
+    }
+    (v, pos)
+  }
+
+  /** Walk the two-field `epic_image` message: returns (header string,
+    * cube offset, cube length). Unknown fields are skipped by wire type,
+    * like any proto3 reader. */
+  private def parseProto(payload: Array[Byte]): (String, Int, Int) = {
+    var pos = 0
+    var header: String = null
+    var cubeOff = -1; var cubeLen = 0
+    while (pos < payload.length) {
+      val (tag, p1) = varint(payload, pos); pos = p1
+      val field = (tag >>> 3).toInt
+      (tag & 7L) match {
+        case 2L =>
+          val (len, p2) = varint(payload, pos); pos = p2
+          require(len >= 0 && pos + len <= payload.length,
+            s"truncated protobuf field $field")
+          field match {
+            case 1 => header =
+              new String(payload, pos, len.toInt, StandardCharsets.UTF_8)
+            case 2 => cubeOff = pos; cubeLen = len.toInt
+            case _ => // unknown length-delimited field: skip
+          }
+          pos += len.toInt
+        case 0L => val (_, p2) = varint(payload, pos); pos = p2
+        case 5L => pos += 4
+        case 1L => pos += 8
+        case other => throw new IllegalArgumentException(
+          s"unsupported protobuf wire type $other (field $field)")
+      }
+    }
+    require(header != null, "epic_image missing header (field 1)")
+    require(cubeOff >= 0, "epic_image missing image_cube (field 2)")
+    (header, cubeOff, cubeLen)
+  }
+
+  /** FITS header string (concatenated 80-char cards, astropy
+    * `Header.tostring()` layout) → key/value map. Value cards have `= ` at
+    * columns 9-10; strings are single-quoted with `''` escaping and
+    * insignificant trailing blanks; `/` starts the inline comment.
+    * END/COMMENT/HISTORY/blank cards carry no value and are dropped. */
+  private[sources] def fitsCards(s: String): ArrayBasedMapData = {
+    val keys = new ArrayBuffer[UTF8String]
+    val vals = new ArrayBuffer[UTF8String]
+    s.grouped(80).foreach { card =>
+      val kw = card.take(8).trim
+      if (kw.nonEmpty && kw != "END" && kw != "COMMENT" && kw != "HISTORY" &&
+          card.length > 9 && card(8) == '=') {
+        val body = card.drop(9).dropWhile(_ == ' ')
+        val value =
+          if (body.startsWith("'")) {
+            // scan for the closing quote, honouring '' escapes
+            val sb = new StringBuilder
+            var i = 1; var closed = false
+            while (i < body.length && !closed) {
+              if (body(i) == '\'') {
+                if (i + 1 < body.length && body(i + 1) == '\'') {
+                  sb += '\''; i += 2
+                } else { closed = true; i += 1 }
+              } else { sb += body(i); i += 1 }
+            }
+            require(closed, s"unterminated FITS string in card: $card")
+            // trailing blanks inside the quotes are not significant
+            sb.result().reverse.dropWhile(_ == ' ').reverse
+          } else body.takeWhile(_ != '/').trim
+        keys += UTF8String.fromString(kw)
+        vals += UTF8String.fromString(value)
+      }
+    }
+    new ArrayBasedMapData(
+      new GenericArrayData(keys.toArray[Any]),
+      new GenericArrayData(vals.toArray[Any]))
+  }
+
+  private def parseProtoHeader(payload: Array[Byte])
+      : (ArrayBasedMapData, ArrayBasedMapData, String, Seq[Int], Int, Int) = {
+    val (headerStr, cubeOff, cubeLen) = parseProto(payload)
+    val header = mapper.readTree(headerStr)
+    require(header != null && header.isArray && header.size() == 3,
+      "bad epic_image header: expected a 3-element JSON list")
+    val primary = fitsCards(header.get(0).asText())
+    val img = fitsCards(header.get(1).asText())
+    // element 2 is a JSON STRING holding the buffer metadata json
+    // (json.loads(header[2]), uds_server.py:94-96)
+    val meta = mapper.readTree(header.get(2).asText())
+    val dtype = meta.get("dtype").asText()
+    require(dtype == "float32", s"unsupported dtype: $dtype")
+    val shapeNode = meta.get("shape")
+    val shape = (0 until shapeNode.size()).map(shapeNode.get(_).asInt())
+    // the reference re-views the buffer with as_strided(shape, strides);
+    // a C-contiguous producer (ndarray.tobytes()) always sends the default
+    // strides — anything else would silently transpose the cube, so fail
+    // the frame loudly instead
+    if (meta.hasNonNull("strides")) {
+      val st = meta.get("strides")
+      val strides = (0 until st.size()).map(st.get(_).asLong())
+      val expected = shape.scanRight(4L)((d, acc) => acc * d).tail
+      require(strides == expected,
+        s"unsupported non-C-contiguous strides $strides for shape $shape")
+    }
+    (primary, img, dtype, shape, cubeOff, cubeLen)
   }
 
   private def checkIntegrity(nFloats: Long, shape: Seq[Int]): Unit = {
@@ -480,11 +623,11 @@ object ImageFrameDecoder {
       s"integrity check failed: $nFloats floats != prod(shape) $expected")
   }
 
-  /** payload = 4-byte BE header length · header JSON
-    * `[primary{}, img{}, {dtype,shape}]` · float32 LE cube. */
+  /** Decode either accepted framing (JSON layout or protobuf `epic_image`)
+    * into an imageSchema row. */
   def decode(payload: Array[Byte]): InternalRow = {
-    val (primary, img, dtype, shape, cubeOff) = parseHeader(payload)
-    val floatBuf = ByteBuffer.wrap(payload, cubeOff, payload.length - cubeOff)
+    val (primary, img, dtype, shape, cubeOff, cubeLen) = parseHeader(payload)
+    val floatBuf = ByteBuffer.wrap(payload, cubeOff, cubeLen)
       .slice().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
     val n = floatBuf.remaining()
     checkIntegrity(n.toLong, shape)
@@ -503,10 +646,9 @@ object ImageFrameDecoder {
     * frame avoided; PatchGather reads the blob natively). Emits
     * EpicPipeline.imageBinarySchema rows. */
   def decodeBinary(payload: Array[Byte]): InternalRow = {
-    val (primary, img, dtype, shape, cubeOff) = parseHeader(payload)
-    val nBytes = payload.length - cubeOff
-    checkIntegrity(nBytes.toLong / 4L, shape)
-    val blob = java.util.Arrays.copyOfRange(payload, cubeOff, payload.length)
+    val (primary, img, dtype, shape, cubeOff, cubeLen) = parseHeader(payload)
+    checkIntegrity(cubeLen.toLong / 4L, shape)
+    val blob = java.util.Arrays.copyOfRange(payload, cubeOff, cubeOff + cubeLen)
     InternalRow(primary, img, UTF8String.fromString(dtype),
       new GenericArrayData(shape.toArray[Any]), blob)
   }

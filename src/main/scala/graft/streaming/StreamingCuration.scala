@@ -19,8 +19,13 @@ import graft.functions.TextFunctions.{fingerprint, tokens}
   *    dropDuplicates would grow state forever on an infinite corpus);
   *  - near-dup detection reuses [[StreamingDedup]]'s incremental
   *    MinHash-LSH `flatMapGroupsWithState` (band-keyed signature index,
-  *    bounded buckets) downstream of the exact stage, so its state only
-  *    ever sees exact-unique survivors.
+  *    bounded buckets). It is NOT chained inside [[curate]]: Spark's
+  *    unsupported-operation checker rejects `flatMapGroupsWithState`
+  *    downstream of another stateful operator, so [[curateNearDup]] runs
+  *    it as a companion query over the SAME stateless stages. Exact
+  *    duplicates collide there at est = 1.0 (identical text → identical
+  *    signature), so the near-dup query subsumes the exact stage rather
+  *    than needing to run after it.
   *
   * The stateless stages reuse the SAME column expressions the batch
   * pipeline oracles (t07's regexes, t02's quality, t03's vote), so batch
@@ -74,4 +79,19 @@ object StreamingCuration {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+
+  /** Near-dup companion to [[curate]]: the same stateless curation stages,
+    * then [[StreamingDedup.candidates]] flags each arriving survivor that
+    * near-duplicates (est ≥ `estThreshold`) an already-accepted one. Exact
+    * dups agree on every signature position (est = 1.0), so this single
+    * stateful stage covers both dedup tiers — which is what lets it stand
+    * alone instead of chaining after `dropDuplicatesWithinWatermark`
+    * (Spark rejects `flatMapGroupsWithState` after a stateful operator).
+    * Returns the candidate-pair stream; subtract `b` ids from `curate`'s
+    * output downstream to materialize the near-dup-free corpus. */
+  def curateNearDup(docs: DataFrame, estThreshold: Double = 0.5,
+      minQuality: Double = 0.3): DataFrame =
+    StreamingDedup.candidates(
+      scored(docs, minQuality).select(col("doc_id"), col("text")),
+      estThreshold).toDF()
 }

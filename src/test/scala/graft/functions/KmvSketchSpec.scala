@@ -13,6 +13,11 @@ class KmvSketchSpec extends SparkSpec {
     assert(buf.toSeq === Seq(1L, 2L, 3L, 7L))
   }
 
+  test("k < 2 is rejected at construction, not mid-aggregation") {
+    intercept[IllegalArgumentException](new KmvSketch(0))
+    intercept[IllegalArgumentException](new KmvSketch(1))
+  }
+
   test("merge equals feeding both streams into one sketch") {
     val sk = new KmvSketch(4)
     val left = Seq(5L, 1L, 9L).foldLeft(sk.zero)(sk.reduce)

@@ -17,6 +17,9 @@ class BucketedJoinSpec extends SparkSpec {
     // disable broadcast so the join would otherwise shuffle both sides;
     // sorted-bucket scan ordering is opt-in since Spark 3 (it is only
     // sound with one file per bucket, which writeBucketed guarantees)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrdering =
+      spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
@@ -36,8 +39,9 @@ class BucketedJoinSpec extends SparkSpec {
         .agg(count(lit(1))).head().getLong(0)
       assert(viaBuckets === direct)
     } finally {
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        prevOrdering)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }

@@ -44,7 +44,7 @@ class ImageSocketSourceSpec extends SparkSpec {
       chunkSize = 819200) // the reference's tuned chunk size
     ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:12.000000"))
 
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def rows(): Long =
       try spark.read.parquet(s"$out/rows").count()
       catch { case _: Exception => 0L }
@@ -78,7 +78,7 @@ class ImageSocketSourceSpec extends SparkSpec {
     Thread.sleep(500)
     ImageSocketClient.sendTcp("127.0.0.1", port,
       frame("2022-08-31T23:29:10.000000"))
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def rows(): Long =
       try spark.read.parquet(s"$out/rows").count()
       catch { case _: Exception => 0L }
@@ -113,7 +113,7 @@ class ImageSocketSourceSpec extends SparkSpec {
     assert(dup.contains("error") && dup.contains("already being watched"))
     // the watch added mid-stream takes effect: next frame yields its 3x3
     ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def cnt(p: String): Long =
       try spark.read.parquet(s"$out/$p").count()
       catch { case _: Exception => 0L }
@@ -144,7 +144,7 @@ class ImageSocketSourceSpec extends SparkSpec {
       trigger = Trigger.ProcessingTime("200 milliseconds"))
     Thread.sleep(500)
     ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def cnt(p: String): Long =
       try spark.read.parquet(s"$out/$p").count()
       catch { case _: Exception => 0L }
@@ -215,7 +215,7 @@ class ImageSocketSourceSpec extends SparkSpec {
     while (reply.hasRemaining) assert(ch.read(reply) > 0)
     assert(new String(reply.array(), "UTF-8") == "proceed")
     ch.write(java.nio.ByteBuffer.wrap(payload))
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def rows(): Long =
       try spark.read.parquet(s"$dir/rows").count()
       catch { case _: Exception => 0L }
@@ -224,6 +224,103 @@ class ImageSocketSourceSpec extends SparkSpec {
     ch.close()
     q.stop()
     assert(rows() == 1)
+  }
+
+  private def protoFrame(dt: String): Array[Byte] =
+    ImageSocketClient.encodeProto(
+      ImageFixtures.primaryHeader,
+      ImageFixtures.imgHeader(dt, s"EPIC_$dt.fits"),
+      Seq(2, ImageFixtures.NPol, ImageFixtures.NChan,
+        ImageFixtures.YDim, ImageFixtures.XDim),
+      ImageFixtures.cube())
+
+  test("protobuf epic_image framing decodes to the same rows as the JSON " +
+      "layout (wire parity with the reference producer)") {
+    val dt = "2022-08-31T23:29:10.000000"
+    val viaProto = ImageFrameDecoder.decode(protoFrame(dt))
+    val viaJson = ImageFrameDecoder.decode(frame(dt))
+    // same arity, same cube, same dtype/shape
+    assert(viaProto.numFields == viaJson.numFields)
+    assert(viaProto.getString(2) == viaJson.getString(2))
+    assert(viaProto.getArray(3).toIntArray().toSeq ==
+      viaJson.getArray(3).toIntArray().toSeq)
+    assert(viaProto.getArray(4).toFloatArray().toSeq ==
+      viaJson.getArray(4).toFloatArray().toSeq)
+    // header maps carry the same keys and values (FITS cards round-trip)
+    def toMap(r: org.apache.spark.sql.catalyst.InternalRow, i: Int) = {
+      val m = r.getMap(i)
+      (0 until m.numElements()).map(j =>
+        m.keyArray().getUTF8String(j).toString ->
+          m.valueArray().getUTF8String(j).toString).toMap
+    }
+    assert(toMap(viaProto, 0) == toMap(viaJson, 0))
+    assert(toMap(viaProto, 1) == toMap(viaJson, 1))
+    // and the binary-passthrough decode agrees too
+    val binProto = ImageFrameDecoder.decodeBinary(protoFrame(dt))
+    val binJson = ImageFrameDecoder.decodeBinary(frame(dt))
+    assert(java.util.Arrays.equals(binProto.getBinary(4),
+      binJson.getBinary(4)))
+  }
+
+  test("protobuf frames stream end-to-end through the live socket") {
+    val sock = Files.createTempDirectory("epicproto").toString + "/epic.sock"
+    val out = Files.createTempDirectory("epicprotoout").toString
+    val images = spark.readStream.format("epic-socket")
+      .option("path", sock).load()
+    val q = images
+      .select(element_at(col("img_hdr"), "DATETIME").as("dt"),
+        size(col("image")).as("n"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    Thread.sleep(500)
+    // one protobuf frame and one JSON frame interleaved on the same socket
+    ImageSocketClient.sendUds(sock, protoFrame("2022-08-31T23:29:10.000000"))
+    ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:11.000000"))
+    val deadline = System.currentTimeMillis() + 120000
+    def rows(): Long =
+      try spark.read.parquet(s"$out/rows").count()
+      catch { case _: Exception => 0L }
+    while (rows() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    val got = spark.read.parquet(s"$out/rows").orderBy("dt").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getString(0)).toSeq == Seq(
+      "2022-08-31T23:29:10.000000", "2022-08-31T23:29:11.000000"))
+    assert(got.forall(_.getInt(1) == 2 * 2 * 4 * 64 * 64))
+  }
+
+  test("FITS card parser handles quoted strings, '' escapes, comments") {
+    val cards =
+      ("SIMPLE  =                    T / conforms to FITS standard          " +
+        "        ").padTo(80, ' ') +
+      ("OBJECT  = 'O''NEIL  '          / quoted with escape                 " +
+        "        ").padTo(80, ' ') +
+      ("CRVAL1  =                180.0 / [deg]                              " +
+        "        ").padTo(80, ' ') +
+      "COMMENT this is ignored".padTo(80, ' ') +
+      "END".padTo(80, ' ')
+    val m = ImageFrameDecoder.fitsCards(cards)
+    val parsed = (0 until m.numElements()).map(j =>
+      m.keyArray.getUTF8String(j).toString ->
+        m.valueArray.getUTF8String(j).toString).toMap
+    assert(parsed == Map("SIMPLE" -> "T", "OBJECT" -> "O'NEIL",
+      "CRVAL1" -> "180.0"))
+  }
+
+  test("protobuf integrity check rejects a truncated cube") {
+    val bad = ImageSocketClient.encodeProto(
+      ImageFixtures.primaryHeader,
+      ImageFixtures.imgHeader("2022-08-31T23:29:10.000000", "f.fits"),
+      Seq(2, 2, 4, 64, 64),
+      new Array[Float](100))
+    val e = intercept[IllegalArgumentException] {
+      ImageFrameDecoder.decode(bad)
+    }
+    assert(e.getMessage.contains("integrity check failed"))
   }
 
   test("integrity check rejects a frame whose size != prod(shape)") {
@@ -327,7 +424,7 @@ class ImageSocketSourceSpec extends SparkSpec {
     ch.close()
     // a well-formed frame afterwards still goes through
     ImageSocketClient.sendUds(sock, frame("2022-08-31T23:29:10.000000"))
-    val deadline = System.currentTimeMillis() + 30000
+    val deadline = System.currentTimeMillis() + 120000
     def rows(): Long =
       try spark.read.parquet(s"$out/rows").count()
       catch { case _: Exception => 0L }

@@ -62,6 +62,37 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateNearDup flags near-dups AND exact dups (est 1.0) post-filter") {
+    import spark.implicits._
+    val base = "the archive ledger holds a long plain english record of " +
+      "daily trades and the clerks sign each page before closing time"
+    val near = base.replace("closing", "opening") // one token differs
+    val mem = MemoryStream[TimedDoc](spark, 1)
+    val q = StreamingCuration.curateNearDup(mem.toDF(), minQuality = 0.1)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        TimedDoc(1, t(0), base),
+        TimedDoc(2, t(1), base), // exact dup of 1
+        TimedDoc(3, t(2), near), // near dup of 1
+        TimedDoc(4, t(3), "the a completely unrelated document about rivers " +
+          "and mountains with plenty of distinct vocabulary to stand alone"),
+        TimedDoc(5, t(4), "der kaiser und der berg und der fluss")) // filtered
+      q.processAllAvailable()
+      val flagged = spark.table("neardup_out")
+        .where(!col("overflow"))
+        .select(col("a"), col("b"), col("est"))
+        .as[(Long, Long, Double)].collect()
+      // the exact dup collides at est = 1.0 in every band
+      assert(flagged.exists { case (a, b, e) => a == 1 && b == 2 && e == 1.0 })
+      // the near dup collides in at least one band above threshold
+      assert(flagged.exists { case (a, b, _) => a == 1 && b == 3 })
+      // the unrelated survivor and the filtered-out german doc never pair
+      assert(!flagged.exists { case (a, b, _) => a == 4 || b == 4 || b == 5 })
+    } finally q.stop()
+  }
+
   test("exact-dedup state evicts by watermark, not forever") {
     import spark.implicits._
     val mem = MemoryStream[TimedDoc](spark, 1)
