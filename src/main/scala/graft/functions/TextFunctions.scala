@@ -45,6 +45,44 @@ object TextFunctions {
   def minhashPerm(f: Column, i: Int): Column =
     (f * (37L + 2L * i) + (1000L + i)) % Mod
 
+  /** Byte-BPE merges fixture (published `merges.txt` format: one
+    * "left right" pair per line, rank = line order). Well-formed: every
+    * symbol is a base character or the product of an EARLIER merge, which
+    * is what makes one pass per rule in rank order equivalent to the
+    * reference BPE encode loop (repeat: merge the lowest-ranked pair
+    * present) — a rule can only ever create pairs involving its own
+    * output, and every rule consuming that output ranks later. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("o", "f"), ("a", "r"), ("a", "l"), ("s", "t"), ("n", "g"),
+    ("in", "g"), ("e", "d"), ("t", "o"), ("c", "o"), ("l", "e"),
+    ("m", "e"), ("h", "e"), ("u", "r"), ("w", "h"), ("wh", "e"),
+    ("c", "h"), ("l", "l"), ("s", "e"), ("o", "m"), ("d", "e"))
+
+  /** Exact byte-level BPE token count (t11): per whitespace word, wrap
+    * every character as a bracketed symbol (`"cat"` → `"[c][a][t]"`),
+    * apply each merge rule in rank order as a left-to-right
+    * non-overlapping replace (`"[a][t]"` → `"[at]"` — `replace` scanning
+    * semantics match BPE's merge-all-occurrences step), and count the
+    * surviving symbols; the document count is the sum over words. All
+    * codegen'd built-ins (regexp_replace / replace / aggregate), and the
+    * oracle replays the identical replace chain in DuckDB. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges)
+      : Column = {
+    def wordTokens(word: Column): Column = {
+      val symbols = regexp_replace(word, "(.)", "[$1]")
+      val merged = merges.foldLeft(symbols) { case (acc, (a, b)) =>
+        call_function("replace", acc, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+      }
+      // token count = number of '[' left standing
+      (length(merged) - length(translate(merged, "[", ""))).cast("long")
+    }
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + wordTokens(w))
+  }
+
   /** BPE-ish token-count estimate: runs of letters, runs of digits, and
     * single non-alnum glyphs each count as one token. */
   def bpeCount(text: Column): Column =

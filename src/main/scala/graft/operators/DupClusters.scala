@@ -30,9 +30,26 @@ import org.apache.spark.storage.StorageLevel
 object DupClusters {
 
   /** Cluster assignment for every vertex that appears in `pairs`:
-    * (id, cluster_id) with cluster_id = min id of the component.
-    * `pairs` columns `a`/`b` are one undirected edge per row. */
-  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * (id, lbl) with lbl = min id of the component. `pairs` columns
+    * `a`/`b` are one undirected edge per row.
+    *
+    * `strategy`:
+    *  - `"min-label"` (default): O(diameter) rounds — right for dup
+    *    components, which are dense near-cliques of one source text;
+    *  - `"large-star"`: alternating large-star/small-star contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    *    O(log² n) rounds regardless of diameter — the fallback when the
+    *    edge list is chain-shaped (e.g. similarity edges that form long
+    *    drift paths) and min-label would hit its round cap. */
+  def clusters(pairs: DataFrame, maxIter: Int = 50,
+      strategy: String = "min-label"): DataFrame = strategy match {
+    case "min-label" => clustersMinLabel(pairs, maxIter)
+    case "large-star" => clustersLargeStar(pairs, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown strategy '$other' (want min-label or large-star)")
+  }
+
+  private def clustersMinLabel(pairs: DataFrame, maxIter: Int): DataFrame = {
     // The pair source is typically an expensive dedup pipeline (LSH band
     // join + exact verify), and the symmetric-edge union below scans it
     // TWICE — materialize it once first (the per-branch-recompute trap).
@@ -72,6 +89,67 @@ object DupClusters {
       "rounds (component diameter exceeds the cap); raise maxIter or " +
       "switch to large-star/small-star contraction for chain-shaped graphs")
     labels
+  }
+
+  /** Alternating large-star/small-star contraction. Each round:
+    *  - LARGE-STAR: every node u connects its strictly-larger neighbors
+    *    to m(u) = min(Γ(u) ∪ {u}) — long chains fold toward their minimum
+    *    exponentially instead of one hop per round;
+    *  - SMALL-STAR: on the resulting larger→smaller edges, every node
+    *    connects its smaller neighbors (and itself) to its minimum
+    *    neighbor — flattening partial stars.
+    * The fixpoint is a star per component centered on the component min;
+    * O(log² n) rounds on ANY graph shape (the paper's bound), each round
+    * two shuffles. Same loud non-convergence contract as min-label. */
+  private def clustersLargeStar(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val vertices = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical directed edges larger→smaller (self-loops dropped)
+    var edges = p.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // LARGE-STAR over the symmetric view: (v, m(u)) for v ∈ Γ(u), v > u.
+      // m(u) ≤ u < v keeps the larger→smaller invariant.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // SMALL-STAR on larger→smaller edges: with m(u) = min smaller
+      // neighbor, emit (v, m(u)) for the other smaller neighbors and
+      // (u, m(u)) for u itself.
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(mins2, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val grew = next.except(edges).limit(1).count()
+      val shrank = edges.except(next).limit(1).count()
+      edges = next
+      done = grew == 0 && shrank == 0
+      iter += 1
+    }
+    require(done, s"large-star contraction did not converge within " +
+      s"$maxIter rounds; raise maxIter")
+    // fixpoint = stars: each non-root points at its component min once
+    // (groupBy-min guards the invariant anyway); roots label themselves
+    val lbl = vertices.join(
+        edges.groupBy(col("u")).agg(min(col("v")).as("parent"))
+          .withColumnRenamed("u", "id"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("parent"), col("id")).as("lbl"))
+    p.unpersist()
+    lbl
   }
 
   /** `docs` minus every non-canonical member of each dup cluster — the

@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator per partition, vectorizable batch shape, no
   * per-row UDF dispatch).
   *
-  * DECODE IS A DETERMINISTIC FAKE (this container ships no image/audio
-  * codecs): `FakeCodec` synthesizes pixels/samples from a rolling hash of
-  * the payload. Everything around it — schemas, the partition-iterator
-  * plumbing, resize arithmetic, feature math, frame explode — is real and
-  * tested; swapping `FakeCodec.decode*` for javax.imageio / ffmpeg bindings
-  * changes no plan shape.
+  * Two codecs behind one plumbing:
+  *  - `FakeCodec` (oracle path): synthesizes pixels from a rolling hash of
+  *    the payload — deterministic, lattice-exact, bit-replayable in DuckDB,
+  *    which is what lets m01–m05 be hash-gated;
+  *  - `ImageIoCodec` (real path, [[decodedReal]]/[[featuresReal]]): JDK
+  *    `javax.imageio` PNG/JPEG decode to grayscale — real bytes through
+  *    the same schemas, partition iterators, resize arithmetic, feature
+  *    math, and ahash; spec-verified with hand-computed expectations
+  *    (a real codec cannot be replayed by the SQL oracle). Audio/video
+  *    (ffmpeg-class) codecs would slot in the same way.
   *
   * Scale notes: decode is the expensive narrow stage — `decoded(df, n)`
   * repartitions by media_id first so a 100 TB corpus decodes
@@ -92,6 +96,90 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL codec: JDK-built-in `javax.imageio` PNG/JPEG decode to grayscale
+    * [0,1] floats (ITU-R BT.601 luma — the standard RGB→gray weights).
+    * Same partition-iterator plumbing, same DecodedFrame shape; width and
+    * height come from the decoded image itself, not the metadata column
+    * (a real corpus's metadata can lie — the bytes cannot). The DuckDB
+    * oracle cannot replay a real codec, so oracle-gated queries (m01-m05)
+    * stay on [[FakeCodec]]; `MultimodalSpec` drives REAL PNG bytes through
+    * the decode → features → resize → ahash paths with hand-computed
+    * expectations instead. */
+  object ImageIoCodec {
+    /** (width, height, grayscale pixels row-major). */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * w + x) =
+            ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Decode stage over REAL image bytes (PNG/JPEG via [[ImageIoCodec]]):
+    * identical repartition + partition-iterator shape as [[decoded]] —
+    * swapping codecs changes no plan. Still images only (frame_idx 0). */
+  def decodedReal(media: DataFrame, partitions: Int = 0): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    val repart = if (partitions > 0)
+      rows.repartition(partitions, col("media_id")) else rows
+    repart.mapPartitions { batch =>
+      batch.map { case (id, payload) =>
+        val (w, h, px) = ImageIoCodec.decodeImage(payload)
+        DecodedFrame(id, 0, w, h, px)
+      }
+    }
+  }
+
+  /** Per-asset features over REAL decoded frames — double stats straight
+    * off the pixels (no oracle lattice; the real-codec twin of
+    * [[features]]). */
+  def featuresReal(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val (w, h, px) = ImageIoCodec.decodeImage(payload)
+          var s = 0.0; var s2 = 0.0
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var i = 0
+          while (i < px.length) {
+            val v = px(i).toDouble
+            s += v; s2 += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = px.length
+          val mean = s / n
+          MediaFeatures(id, payload.length, w, h, round6(mean),
+            round6(math.sqrt(math.max(0, s2 / n - mean * mean))),
+            round6(mn), round6(mx))
+        }
+      }
   }
 
   /** Decode stage: repartition by media_id (decode parallelism independent

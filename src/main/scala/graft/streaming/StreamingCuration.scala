@@ -80,6 +80,43 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Streaming decontamination — the batch d07 check on the streaming
+    * surface: each arriving document's k-shingle fingerprints equi-join
+    * the eval-set fingerprint frame (GPT-3-style n-gram overlap; never
+    * pairwise), and a watermarked per-document aggregate emits each
+    * contaminated document's overlapping-shingle count once its
+    * event-time window closes.
+    *
+    * `evalFps` is a STATIC (f) frame — typically `spark.read.parquet` of
+    * the published eval-benchmark fingerprints. Stream-static joins
+    * re-evaluate the static side every micro-batch, so republishing the
+    * eval set takes effect on the next batch without restarting the
+    * query; `broadcast()` keeps it a map-side hash join (eval sets are
+    * tiny next to the corpus — the same shape batch d07 pins).
+    *
+    * Per-document shingle dedup happens STATELESSLY via `array_distinct`
+    * before the explode (a document's shingles all travel in its one
+    * row), so the only state store is the closing aggregate's. A document
+    * arriving twice counts twice — run the exact-dedup stage of
+    * [[curate]] upstream. */
+  def decontaminate(docs: DataFrame, evalFps: DataFrame, k: Int = 8,
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val shingles = transform(
+      sequence(lit(1), size(col("w")) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*))
+    docs
+      .withColumn("w", tokens(col("text")))
+      .where(size(col("w")) >= k)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(transform(shingles, fingerprint(_)))).as("f"))
+      .join(broadcast(evalFps.select(col("f"))), "f")
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .select(col("doc_id"), col("n_contaminated_shingles"))
+  }
+
   /** Near-dup companion to [[curate]]: the same stateless curation stages,
     * then [[StreamingDedup.candidates]] flags each arriving survivor that
     * near-duplicates (est ≥ `estThreshold`) an already-accepted one. Exact

@@ -52,17 +52,27 @@ object StreamingDedup {
     * concatenated 4-at-a-time into 4 band keys, prefixed with the band
     * index so bands never collide across positions. Documents with fewer
     * than 3 tokens have no shingles and are dropped (cannot near-dup). */
-  def withBands(docs: DataFrame): DataFrame = {
-    val fps = array_distinct(transform(
-      shingles3(tokens(col("text"))), s => graft.plans.PolyHash(s)))
+  def withBands(docs: DataFrame): DataFrame =
+    sigBands(docs
+      .withColumn("fps", array_distinct(transform(
+        shingles3(tokens(col("text"))), s => graft.plans.PolyHash(s))))
+      .where(size(col("fps")) > 0))
+
+  /** The same derivation from an ALREADY-EXPLODED fingerprint table
+    * (doc_id, f) — the shape the batch pipeline session-caches and shares
+    * across the dedup family. Derives sigs with 16 min aggregates instead
+    * of per-row array folds; identical output to [[withBands]]. */
+  def withBandsFromFps(fps: DataFrame): DataFrame =
+    sigBands(fps.groupBy(col("doc_id"))
+      .agg(collect_set(col("f")).as("fps")))
+
+  private def sigBands(withFps: DataFrame): DataFrame = {
     val sig = array((0 until 16).map(i =>
       array_min(transform(col("fps"), f => minhashPerm(f, i)))): _*)
     val bandKeys = (0 until 4).map(b =>
       concat_ws(",", lit(b).cast("string") +:
         (0 until 4).map(r => element_at(col("sig"), 4 * b + r + 1)): _*))
-    docs
-      .withColumn("fps", fps)
-      .where(size(col("fps")) > 0)
+    withFps
       .withColumn("sig", sig)
       .select(col("doc_id"), col("sig"),
         explode(array(bandKeys: _*)).as("band"))

@@ -77,4 +77,48 @@ class DupClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 31 && got.values.forall(_ == 0L))
   }
+
+  test("deep chain: min-label refuses at the cap, large-star completes") {
+    // path of depth 200 ≫ the 50-round cap: min-label propagates one hop
+    // per round and must fail LOUDLY; large-star contracts exponentially
+    // and must finish well inside the same cap
+    val pairs = pairsDf((0L until 200L).map(i => i -> (i + 1)): _*)
+    val e = intercept[IllegalArgumentException] {
+      DupClusters.clusters(pairs).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val got = DupClusters.clusters(pairs, strategy = "large-star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 201 && got.values.forall(_ == 0L))
+  }
+
+  test("large-star matches min-label on random graphs") {
+    var state = 98765L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt
+    }
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(12 + nextInt(30)) {
+        val a = nextInt(40).toLong; val b = nextInt(40).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }
+      val viaMinLabel = DupClusters.clusters(pairsDf(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLargeStar = DupClusters
+        .clusters(pairsDf(edges: _*), strategy = "large-star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLargeStar === viaMinLabel, s"trial $trial, edges $edges")
+    }
+  }
+
+  test("large-star handles empty input and star-shaped components") {
+    assert(DupClusters.clusters(pairsDf(),
+      strategy = "large-star").count() === 0)
+    // inverted star: high-id hub 50 connected to {1, 2, 3}
+    val got = DupClusters.clusters(
+        pairsDf(50L -> 1L, 50L -> 2L, 50L -> 3L), strategy = "large-star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 1L))
+  }
 }

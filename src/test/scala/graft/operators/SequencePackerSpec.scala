@@ -39,6 +39,29 @@ class SequencePackerSpec extends SparkSpec {
       (3L, 1L, 52L)))
   }
 
+  test("packing from exact BPE token counts (the t11 tokenizer) keeps " +
+      "every invariant: offsets in-bounds, docs contiguous, totals exact") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.bpeTokenCount
+    val seqLen = 64L
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .limit(200)
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"))
+    val out = SequencePacker.pack(docs, "doc_id", "n_tokens",
+        seqLen = seqLen, blockSize = 16L)
+      .select("doc_id", "n_tokens", "seq_id", "seq_off")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 200)
+    // exact replay: running total in doc_id order IS the packing
+    var run = 0L
+    out.foreach { case (id, n, seqId, seqOff) =>
+      assert(n > 0, s"doc $id: BPE count must be positive")
+      assert(seqId === run / seqLen && seqOff === run % seqLen,
+        s"doc $id: got (seq $seqId, off $seqOff), want position $run")
+      run += n
+    }
+  }
+
   test("no stage funnels the corpus through a single partition") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, i % 7)).toDF("k", "w")

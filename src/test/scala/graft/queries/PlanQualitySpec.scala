@@ -78,6 +78,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("D03/D04/S02: candidate joins are equi-joins, never all-pairs") {
+    // pin the FRESH plans: with stages session-cached the inspected tree
+    // depends on which suite ran first (InMemoryTableScan vs the full
+    // pipeline) — clear so this test always sees the real join shapes
+    LlmQueries.clearStageCache()
     for (q <- Seq("d03_dedup_minhash_lsh", "d04_dedup_simhash",
         "s02_ann_lsh_topk", "d09_edit_distance")) {
       val plan = planOf(LlmQueries.all(q)(spark, sf0001))
@@ -178,5 +182,57 @@ class PlanQualitySpec extends SparkSpec {
     assert(gathers == 1, s"expected exactly 1 gather, found $gathers:\n$optimized")
     assert(optimized.contains("optimizerfence"))
     assert(!optimized.contains("monotonically_increasing_id"))
+  }
+
+  test("D11: the signature snapshot joins bucket-for-bucket — no Exchange " +
+      "ever touches the snapshot side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.operators.IncrementalDedup.writeSnapshot(
+      docs.where(col("doc_id") % 5 =!= 0), "d11_snapshot_spec")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // broadcast off: with it on, Spark broadcasts the small delta (also a
+    // snapshot-stationary plan); the pin targets the at-scale fallback
+    // where NEITHER side fits in memory and the bucketing must carry it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val delta = docs.where(col("doc_id") % 5 === 0)
+      val result = graft.operators.IncrementalDedup.dedupDelta(
+        spark, delta, "d11_snapshot_spec")
+      val plan = result.queryExecution.executedPlan
+      // root→scan paths for every snapshot scan; on the segment between
+      // each scan and its nearest ancestor JOIN there must be no exchange
+      // of either kind — the 100 TB side is read bucket-for-bucket in
+      // place (exchanges elsewhere, e.g. the final groupBy, are fine)
+      def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] =
+        p match {
+          case s: FileSourceScanExec
+              if s.tableIdentifier.exists(_.table == "d11_snapshot_spec") =>
+            Seq(acc :+ s)
+          case other => other.children.flatMap(paths(_, acc :+ other))
+        }
+      val ps = paths(plan, Nil)
+      assert(ps.nonEmpty, s"no snapshot scan found:\n$plan")
+      ps.foreach { path =>
+        val ji = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+        val belowJoin = if (ji >= 0) path.drop(ji) else path
+        assert(!belowJoin.exists(n => n.isInstanceOf[ShuffleExchangeExec] ||
+            n.isInstanceOf[BroadcastExchangeExec]),
+          s"snapshot side moves before its join:\n$plan")
+      }
+      assert(plan.toString.contains("Bucketed: true"),
+        s"snapshot scan is not bucketed:\n$plan")
+      // and the answer itself: every delta doc present exactly once
+      assert(result.count() === delta.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS d11_snapshot_spec")
+    }
   }
 }

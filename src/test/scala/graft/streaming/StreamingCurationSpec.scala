@@ -93,6 +93,52 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontaminate == batch d07 on the same corpus (parity)") {
+    import spark.implicits._
+    // the batch split: docs with doc_id % 10 == 7 are the eval set, the
+    // rest is the training stream — identical to LlmQueries.d07
+    val k = 8
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+    def shingleFps(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(col("w"), i + j)): _*))).as("s"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("s")).as("f"))
+      .dropDuplicates("doc_id", "f")
+    val evalFps = shingleFps(all.where(col("doc_id") % 10 === 7))
+      .select(col("f")).distinct()
+    val trainDocs = all.where(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, tx) => TimedDoc(id, t(0), tx) }
+    val mem = MemoryStream[TimedDoc](spark, 1)
+    val q = StreamingCuration.decontaminate(mem.toDF(), evalFps,
+        watermark = "10 seconds", windowDur = "10 seconds")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(trainDocs.toSeq)
+      q.processAllAvailable()
+      // advance the watermark far past the window so the counts emit
+      mem.addData(TimedDoc(-1L, t(100000),
+        "a a a a a a a a watermark advancer"))
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .select("doc_id", "n_contaminated_shingles")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.queries.LlmQueries.all("d07_decontaminate")(
+          spark, sf0001)
+        .as[(Long, Long)].collect().toMap
+      assert(batch.nonEmpty, "batch d07 found nothing at sf0.001 — " +
+        "parity test is vacuous")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("exact-dedup state evicts by watermark, not forever") {
     import spark.implicits._
     val mem = MemoryStream[TimedDoc](spark, 1)
