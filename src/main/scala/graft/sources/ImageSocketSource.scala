@@ -28,9 +28,11 @@ import graft.epic.EpicPipeline
 /** Custom Structured Streaming source for the EPIC image wire protocol —
   * the Spark-native replacement of the reference's UDS ThreadedServer (S1,
   * epic_services/uds_server.py:197-289) and its deprecated gRPC twin (S2,
-  * server.py:88-191: the reference measured gRPC "much slower" and kept the
-  * raw-socket path; we keep that fast framing and offer TCP as the remote
-  * transport instead of gRPC).
+  * server.py:88-191). The raw-socket framing is the rate path (the
+  * reference measured gRPC "much slower" and so do we); `family=tcp`
+  * serves it remotely, and `grpcPort=N` additionally serves the full
+  * reference gRPC surface on the same stream ([[GrpcImageServer]]) so an
+  * unmodified reference gRPC client works too.
   *
   * Framing (uds_server.py:221-281 semantics):
   *   1. client sends a JSON handshake line `["epic_image", payload_size]`;
@@ -164,6 +166,13 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   private val running = new AtomicBoolean(true)
   private val lock = new Object
 
+  /** When > 0, the same stream ALSO serves the reference's gRPC surface
+    * (S2, server.py:88-191) on this port: `filter_and_save` /
+    * `filter_and_save_chunk` frames land in the same buffer as socket
+    * frames; `watch_source` / `fetch_watchlist` hit the same WatchStore
+    * handlers. See [[GrpcImageServer]]. */
+  private val grpcPort = options.getOrDefault("grpcPort", "0").toInt
+
   private val server: ServerSocketChannel = {
     val ch = if (family == "unix") {
       Files.deleteIfExists(Paths.get(path))
@@ -180,6 +189,13 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     t.start()
     ch
   }
+
+  private val grpcServer: GrpcImageServer =
+    if (grpcPort > 0) {
+      val s = new GrpcImageServer(grpcPort, this)
+      s.start()
+      s
+    } else null
 
   private def acceptLoop(ch: ServerSocketChannel): Unit = {
     while (running.get()) {
@@ -249,14 +265,7 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
             // phase 2: exactly `size` bytes
             val payload = new Array[Byte](size.toInt)
             in.readFully(payload)
-            val ref =
-              if (spillDir.isEmpty) FrameRef(payload, null)
-              else FrameRef(null, spill(payload))
-            lock.synchronized {
-              while (frames.size >= maxBuffered && running.get()) lock.wait(100)
-              frames += ref
-              lock.notifyAll()
-            }
+            enqueueFrame(payload)
           case "watch_source" =>
             require(watchStorePath.nonEmpty,
               "watch_source disabled: source started without watchStorePath")
@@ -286,6 +295,20 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     } finally conn.close()
   }
 
+  /** Buffer an accepted frame (inline or spilled), blocking when
+    * `maxBufferedFrames` is reached — shared by every wire surface (UDS/TCP
+    * handshake connections and the gRPC endpoint). */
+  private[sources] def enqueueFrame(payload: Array[Byte]): Unit = {
+    val ref =
+      if (spillDir.isEmpty) FrameRef(payload, null)
+      else FrameRef(null, spill(payload))
+    lock.synchronized {
+      while (frames.size >= maxBuffered && running.get()) lock.wait(100)
+      frames += ref
+      lock.notifyAll()
+    }
+  }
+
   /** Write-then-rename so a partially-written spill file is never visible
     * to an executor; sequence numbers keep paths unique across frames. */
   private def spill(payload: Array[Byte]): String = {
@@ -306,7 +329,7 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     * `{"error":…}`. Runs on the driver's connection thread — WatchStore is
     * a control-plane object by design, so the tiny Spark jobs it runs per
     * add are fine here (never per-record). */
-  private def handleWatch(payload: Array[Byte]): String = {
+  private[sources] def handleWatch(payload: Array[Byte]): String = {
     try {
       val n = ImageFrameDecoder.mapper.readTree(payload)
       def str(k: String, d: String) =
@@ -340,7 +363,7 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
     * test_esp_client.py:6-10): reply is a JSON array of the active
     * watchlist rows — the same rows `GraftEngine.watchlistJson` returns
     * locally. Control-plane read, driver-side by design. */
-  private def handleFetchWatchlist(): String = {
+  private[sources] def handleFetchWatchlist(): String = {
     try {
       val spark = org.apache.spark.sql.SparkSession.getDefaultSession
         .getOrElse(throw new IllegalStateException("no SparkSession"))
@@ -408,6 +431,8 @@ class ImageSocketMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = {
     running.set(false)
     try server.close() catch { case _: Throwable => }
+    if (grpcServer != null)
+      try grpcServer.stop() catch { case _: Throwable => }
     if (family == "unix") Files.deleteIfExists(Paths.get(path))
   }
 }
@@ -517,7 +542,7 @@ object ImageFrameDecoder {
   /** Walk the two-field `epic_image` message: returns (header string,
     * cube offset, cube length). Unknown fields are skipped by wire type,
     * like any proto3 reader. */
-  private def parseProto(payload: Array[Byte]): (String, Int, Int) = {
+  private[sources] def parseProto(payload: Array[Byte]): (String, Int, Int) = {
     var pos = 0
     var header: String = null
     var cubeOff = -1; var cubeLen = 0
