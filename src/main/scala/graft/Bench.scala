@@ -52,6 +52,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ForkFreeLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -77,6 +79,11 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+
+    // the dedup family's shared stages are done serving queries — release
+    // their persisted blocks so the ingest phase gets the full executor
+    // memory (and the smaller RSS it implies)
+    graft.queries.LlmQueries.clearStageCache()
 
     // EPIC ingest throughput: one micro-batch of reference-shaped cubes
     // (22 chan ≈ 1.4 MB float32 each) parquet→pipeline→dual parquet sink,

@@ -81,6 +81,8 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ForkFreeLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val opts = args.drop(1).sliding(2, 2)

@@ -14,6 +14,8 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ForkFreeLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -8,7 +8,9 @@ object EpicDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.ForkFreeLocalFileSystem").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val images = ImageFixtures.imagesDf(spark,
       Seq("2022-08-31T23:29:10.000000", "2022-08-31T23:29:11.000000"))
