@@ -19,10 +19,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // one retry on failure: a transient (host interference mid-stage,
+      // evicted checkpoint block) must not zero the query's round result.
+      // Both attempts log loudly — a DETERMINISTIC failure still fails
+      // the run twice and stays visible either way.
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed (will retry once): " +
+          s"${e.getMessage}")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

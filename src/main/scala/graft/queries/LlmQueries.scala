@@ -62,10 +62,25 @@ object LlmQueries {
     * FILTERED corpora (p01) build their own stages. */
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
+  /** NOT computeIfAbsent: stage builders consume other cached stages
+    * (lsh_pairs → shingle_fps), and a nested computeIfAbsent on the same
+    * ConcurrentHashMap throws "Recursive update" whenever the two keys
+    * land in the same bin — which depends on the session's identity hash,
+    * i.e. it is a per-JVM coin flip (caught as a once-in-seven-runs
+    * verify flake in r7). Build OUTSIDE the map update; putIfAbsent
+    * resolves the benign double-build race. */
   private def cachedStage(s: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame =
-    stageCache.computeIfAbsent((s, dir, stage), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      build: => DataFrame): DataFrame = {
+    val key = (s, dir, stage)
+    val existing = stageCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = stageCache.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 
   /** Unpersist and drop every cached stage — call when a sweep is done
     * with the dedup family (Bench does, before the ingest phase) so the
@@ -148,6 +163,34 @@ object LlmQueries {
       length(col("text")).as("n_chars_m"),
       bpeCount(col("text")).as("n_bpe"))
       .orderBy(col("doc_id"))
+
+  /** T12: hashed-features linear classifier — the fastText architecture
+    * every production quality filter runs (CCNet/GPT-3 style): tokens
+    * feature-hash into D buckets, a broadcast D-long weight vector scores
+    * each document, keep = sign of the logit. The weight vector here is
+    * derived arithmetic (a trained model would ship the same broadcast
+    * array); weights and logits are exact integers so the oracle replays
+    * the scoring bit-for-bit — no float model drift across engines.
+    *
+    * Scale shape: the model is ONE broadcast row; scoring is a per-row
+    * array fold (zero shuffle, whole-stage codegen) — the classifier pass
+    * over 100 TB is embarrassingly parallel, exactly as it must be. */
+  def t12HashedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val D = 1024
+    val model = s.range(1).select(expr(
+      s"transform(sequence(0, ${D - 1}), j -> (j * 2654435761L) % 2001 - 1000)")
+      .as("wv"))
+    docs(s, dir).crossJoin(broadcast(model))
+      .select(col("doc_id"), tokens(col("text")).as("w"), col("wv"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_toks"),
+        aggregate(
+          transform(col("w"), t =>
+            element_at(col("wv"), (fingerprint(t) % D).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as("logit"))
+      .withColumn("keep", (col("logit") > 0L).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 
   /** T02: quality scoring — distinct-token ratio × length saturation. */
   def t02Quality(s: SparkSession, dir: String): DataFrame =
@@ -562,6 +605,48 @@ object LlmQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** R03: temperature-rescaled source sampling — the multilingual-LM
+    * mixture move (α-scaling of mC4/XLM-R): a source's share of the
+    * sample budget is proportional to mass^α with α = 1/2, so heavy
+    * sources are down-weighted and light sources up-weighted relative to
+    * proportional sampling. Mass is the source's total character count.
+    *
+    * Determinism contract: the only float op is one IEEE `sqrt` (correctly
+    * rounded in any engine), immediately floored to an integer weight;
+    * budget allocation is then exact integer largest-remainder (base =
+    * N·w div Σw, the N − Σbase leftovers go to the largest remainders,
+    * ties by source name), and document selection inside a source is the
+    * r02 fingerprint-rank machinery. No float thresholds anywhere.
+    *
+    * Scale shape: the per-source weight/quota table is k rows (broadcast
+    * back); the corpus pays one window rank per stratum — same note as
+    * p04: at 100 TB swap the dynamic-quota rank for a two-pass
+    * hash-threshold select. */
+  def r03TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val N = 200L
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"), fingerprint(col("text")).as("h"))
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy().orderBy(col("rem").desc, col("source"))
+    val quotas = d.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("mass"))
+      .withColumn("wgt", floor(sqrt(col("mass").cast("double"))))
+      .withColumn("sw", sum(col("wgt")).over(all))
+      .withColumn("base", expr(s"$N * wgt div sw"))
+      .withColumn("rem", expr(s"($N * wgt) % sw"))
+      .withColumn("leftn", lit(N) - sum(col("base")).over(all))
+      .withColumn("pos", row_number().over(byRem).cast("long"))
+      .select(col("source"),
+        (col("base") + when(col("pos") <= col("leftn"), 1L).otherwise(0L))
+          .as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(quotas), Seq("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** P04: data-mixture builder — the step that turns "train on 40% en,
     * the rest split evenly" into per-language keep quotas and a
     * deterministic document selection. Quota math is exact integer
@@ -777,6 +862,38 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12: duplicated-substring spans — substring-level exact dedup (the
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" shape): slide a fixed 6-token window over every document and
+    * report the spans that recur across documents, ranked by reach. Doc-
+    * level dedup (d01–d06) misses exactly these — boilerplate headers,
+    * license blocks, templated sentences embedded in otherwise-unique
+    * documents — and they are what LMs memorize verbatim.
+    *
+    * Scale shape: one shuffle, the groupBy on the span key, with map-side
+    * partial aggregation; no join, no cartesian. At 100 TB the group key
+    * becomes the span's 64-bit rolling fingerprint (8 B vs ~40 B of text,
+    * the same PolyHash the oracle replays) with `min(span)` carried as the
+    * representative, and adjacent reported spans are merged into maximal
+    * duplicated segments in a per-doc post-pass — neither changes the
+    * candidate set this query declares. */
+  def d12SubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 6
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= W)
+    val spans = toks.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, size(w) - ${W - 1}), " +
+        s"i -> concat_ws(' ', slice(w, i, $W)))")).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(100)
+      .select(col("span"), col("n_docs"), col("n_occ"))
+  }
+
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
     * Hamming distance ≤ 5.
@@ -930,6 +1047,82 @@ object LlmQueries {
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
     scored.select(col("q"), col("nb"), col("sim"),
         row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
+  /** S07: scalar-quantized (SQ8) ANN — the memory-compression tier next
+    * to s03's scan-pruning tier, the FAISS ScalarQuantizer shape: vectors
+    * are L2-normalized (cosine = unit-vector dot), each unit dimension
+    * quantizes to one byte against per-dimension corpus bounds, and the
+    * candidate scan scores the DEQUANTIZED byte codes (asymmetric-distance
+    * style: `mn_i + q_i·(mx_i−mn_i)/255`), so a stored vector costs
+    * ~64 B instead of 512 B of doubles at ~1-LSB scoring error. The top-C
+    * approximate candidates then re-rank under the exact cosine. Every
+    * arithmetic step (normalize, bound, floor-quantize, dequantize,
+    * left-fold dot) is the identical IEEE expression in both engines, so
+    * candidate selection replays exactly in the oracle.
+    *
+    * Scale shape: the bound table is ONE row (broadcast) produced by one
+    * aggregate over the corpus; queries are tiny (broadcast); candidate
+    * selection is a single pass over the quantized corpus; the exact
+    * re-rank joins the candidate list (broadcast) back to full vectors.
+    * No cartesian anywhere — `PlanQualitySpec` pins it. */
+  def s07AnnSq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val C = 20 // candidates per query entering exact re-rank
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val unit = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / nrm)").as("u"))
+    // per-dimension corpus bounds over UNIT vectors, as two aligned arrays
+    val bounds = unit.select(posexplode(col("u")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)")
+          .as("mn"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)")
+          .as("mx"))
+    // byte code then dequantized reconstruction — the stored form is the
+    // byte code + the shared bounds row; `dv` is what ADC scoring reads
+    val dequantize = expr(
+      """transform(sequence(1, size(u)), i ->
+        |  CASE WHEN element_at(mx, i) > element_at(mn, i)
+        |       THEN element_at(mn, i)
+        |            + cast(cast(floor((element_at(u, i) - element_at(mn, i))
+        |                              * 255.0D
+        |                              / (element_at(mx, i) - element_at(mn, i)))
+        |                   as bigint) as double)
+        |              * (element_at(mx, i) - element_at(mn, i)) / 255.0D
+        |       ELSE element_at(mn, i) END)""".stripMargin)
+    val qz = e.crossJoin(broadcast(bounds))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .withColumn("dv", dequantize)
+      .select(col("vec_id"), col("dv"))
+    val q8 = qz.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("dv").as("qdv"))
+    val ascored = q8.join(qz, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(dot(col("qdv"), col("dv")), 6).as("ascore"))
+    val wc = Window.partitionBy(col("q")).orderBy(col("ascore").desc, col("nb"))
+    val cand = ascored
+      .select(col("q"), col("nb"), row_number().over(wc).as("crk"))
+      .where(col("crk") <= C)
+      .select(col("q"), col("nb"))
+    // exact re-rank of the candidate list only (broadcast: ≤ 10·C rows)
+    val full = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qf = full.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("fqv"), col("nrm").as("qn"))
+    val rer = full.withColumnRenamed("vec_id", "nb")
+      .join(broadcast(cand.join(qf, Seq("q"))), Seq("nb"))
+      .select(col("q"), col("nb"),
+        round(dot(col("fqv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    rer.select(col("q"), col("nb"), col("sim"), row_number().over(w).as("rk"))
       .where(col("rk") <= 5)
       .select(col("q"), col("rk"), col("nb"), col("sim"))
       .orderBy(col("q"), col("rk"))
@@ -1291,12 +1484,14 @@ object LlmQueries {
     "d09_edit_distance" -> (d09EditDistance _),
     "d10_lsh_recall" -> (d10LshRecall _),
     "d11_incremental_dedup" -> (d11IncrementalDedup _),
+    "d12_substring_spans" -> (d12SubstringSpans _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
     "t09_repetition" -> (t09Repetition _),
     "t10_normalize" -> (t10Normalize _),
     "t11_bpe_tokens" -> (t11BpeTokens _),
+    "t12_hashed_classifier" -> (t12HashedClassifier _),
     "p01_curation_pipeline" -> (p01CurationPipeline _),
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
@@ -1304,6 +1499,7 @@ object LlmQueries {
     "l01_zorder_layout" -> (l01ZorderLayout _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
+    "r03_temperature_sample" -> (r03TemperatureSample _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
     "a03_cms_freq" -> (a03CmsFreq _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
@@ -1312,6 +1508,7 @@ object LlmQueries {
     "s04_ann_ivfpq_topk" -> (s04AnnIvfPqTopK _),
     "s05_ann_recall" -> (s05AnnRecall _),
     "s06_ann_filtered" -> (s06AnnFiltered _),
+    "s07_ann_sq8_topk" -> (s07AnnSq8TopK _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -1661,6 +1858,21 @@ object LlmQueries {
          |FROM words JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "t12_hashed_classifier" ->
+      s"""WITH $W,
+         |mdl AS (SELECT list_transform(range(0, 1024),
+         |          j -> (j * 2654435761) % 2001 - 1000) wv),
+         |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_toks,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, t ->
+         |        wv[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              [CAST(ascii(x) AS BIGINT) for x in string_split(t,'')]),
+         |              (a,b)->(a*31+b)%1000000007) % 1024 AS INTEGER) + 1])),
+         |      (a,b) -> a + b) logit
+         |  FROM words CROSS JOIN mdl)
+         |SELECT doc_id, n_toks, logit,
+         |       CAST(logit > 0 AS BIGINT) keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "a03_cms_freq" ->
       """WITH words AS (SELECT string_split_regex(trim(text), '\s+') w
         |               FROM documents),
@@ -1699,6 +1911,30 @@ object LlmQueries {
         |  FROM h)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
+    "r03_temperature_sample" ->
+      """WITH m AS (SELECT source, SUM(n_chars) mass FROM documents
+        |           GROUP BY source),
+        |wg AS (SELECT source,
+        |    CAST(floor(sqrt(CAST(mass AS DOUBLE))) AS BIGINT) wgt FROM m),
+        |al AS (SELECT source, wgt, SUM(wgt) OVER () sw FROM wg),
+        |ba AS (SELECT source, (200*wgt)//sw base, (200*wgt)%sw rem FROM al),
+        |po AS (SELECT source, base, 200 - SUM(base) OVER () leftn,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) pos
+        |  FROM ba),
+        |quotas AS (SELECT source,
+        |    base + CASE WHEN pos <= leftn THEN 1 ELSE 0 END quota FROM po),
+        |h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |         AS BIGINT) rk
+        |  FROM h)
+        |SELECT r.source, r.doc_id, r.rk
+        |FROM r JOIN quotas q ON r.source = q.source
+        |WHERE r.rk <= q.quota ORDER BY r.source, r.rk""".stripMargin,
     "p04_data_mixture" ->
       """WITH d AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1878,6 +2114,15 @@ object LlmQueries {
          |       CAST(dup.dup_of IS NULL AS BIGINT) kept
          |FROM ddocs d LEFT JOIN dup ON d.doc_id = dup.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "d12_substring_spans" ->
+      s"""WITH $W,
+         |wins AS (SELECT doc_id,
+         |    UNNEST(list_transform(range(1, len(w) - 4),
+         |      i -> array_to_string(w[i:i+5], ' '))) AS span
+         |  FROM words WHERE len(w) >= 6)
+         |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |FROM wins GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim
@@ -1920,6 +2165,56 @@ object LlmQueries {
          |  WHERE a < 10 AND a <> b)
          |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
          |ORDER BY q, rk""".stripMargin,
+    "s07_ann_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |un AS (SELECT vec_id,
+        |    list_transform(v, x -> x /
+        |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |        (p,s)->p+s))) u
+        |  FROM e),
+        |dims AS (SELECT UNNEST(range(1, mxd + 1)) i
+        |         FROM (SELECT max(len(u)) mxd FROM un)),
+        |st AS (SELECT i, min(u[i]) mn, max(u[i]) mx
+        |       FROM un CROSS JOIN dims GROUP BY i),
+        |bnd AS (SELECT list(mn ORDER BY i) mn, list(mx ORDER BY i) mx
+        |        FROM st),
+        |qz AS (SELECT vec_id,
+        |    list_transform(range(1, len(u)+1), i ->
+        |      CASE WHEN bnd.mx[i] > bnd.mn[i]
+        |           THEN bnd.mn[i]
+        |                + CAST(CAST(floor((u[i] - bnd.mn[i]) * 255.0
+        |                                  / (bnd.mx[i] - bnd.mn[i]))
+        |                       AS BIGINT) AS DOUBLE)
+        |                  * (bnd.mx[i] - bnd.mn[i]) / 255.0
+        |           ELSE bnd.mn[i] END) dv
+        |  FROM un CROSS JOIN bnd),
+        |isc AS (SELECT x.vec_id q, y.vec_id nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(x.dv)+1), i -> x.dv[i]*y.dv[i])),
+        |      (p,s)->p+s), 6) ascore
+        |  FROM qz x JOIN qz y ON x.vec_id < 10 AND y.vec_id <> x.vec_id),
+        |cand AS (SELECT q, nb FROM (
+        |    SELECT q, nb,
+        |      ROW_NUMBER() OVER (PARTITION BY q ORDER BY ascore DESC, nb) crk
+        |    FROM isc) t WHERE crk <= 20),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,s)->p+s)) nrm
+        |  FROM e),
+        |rer AS (SELECT c.q, c.nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*nn.v[i])),
+        |        (p,s)->p+s) / (qq.nrm * nn.nrm), 6) sim
+        |  FROM cand c JOIN n qq ON qq.vec_id = c.q
+        |              JOIN n nn ON nn.vec_id = c.nb)
+        |SELECT q, rk, nb, sim FROM (
+        |  SELECT q, nb, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+        |         AS INTEGER) rk
+        |  FROM rer) t WHERE rk <= 5 ORDER BY q, rk""".stripMargin,
     "s02_ann_lsh_topk" ->
       s"""WITH $EMB,
          |bkt AS (SELECT vec_id, v,

@@ -40,6 +40,28 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got(5) === "no pii here at all")
   }
 
+  test("t12 hashed classifier replays as an independent Scala fold") {
+    val mod = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    def weight(j: Long): Long = (j * 2654435761L) % 2001 - 1000
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      val logit = w.map(tok => weight(polyHash(tok) % 1024)).sum
+      (id, w.length.toLong, logit, if (logit > 0) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.LlmQueries.all("t12_hashed_classifier")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // the derived model must actually separate: both classes present
+    assert(expected.exists(_._4 == 1L) && expected.exists(_._4 == 0L))
+  }
+
   test("t07 on the corpus: every injected PII instance is found") {
     val out = graft.queries.LlmQueries.t07PiiRedact(spark, sf0001)
     assert(out.where(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||

@@ -142,6 +142,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("D12: span mining is one aggregation — no join anywhere, top-k " +
+      "plans as TakeOrderedAndProject") {
+    val plan = planOf(LlmQueries.all("d12_substring_spans")(spark, sf0001))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // map-side partial aggregation below the one shuffle
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected partial aggregate under the shuffle:\n$plan")
+  }
+
+  test("R03: the quota table broadcasts; the corpus never shuffles for it") {
+    val plan = planOf(LlmQueries.all("r03_temperature_sample")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("S07 SQ8: bounds row and candidate list broadcast; no cartesian") {
+    val plan = planOf(LlmQueries.all("s07_ann_sq8_topk")(spark, sf0001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("EPIC ingest: watchlist broadcasts; pixel path has no shuffle") {
     val images = ImageFixtures.imagesBinaryDf(spark,
       Seq("2022-08-31T23:29:10.000000"))
