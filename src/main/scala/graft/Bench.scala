@@ -80,6 +80,20 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // optional untimed metrics pass: per-query shuffle/spill volumes from
+    // the operator SQLMetrics (SPARK_GRAFT_BENCH_METRICS=1). Separate
+    // from the timed loop so the timing methodology stays comparable
+    // across rounds.
+    val volumes: Option[Seq[(String, Long, Long)]] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")) None
+      else Some(SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try {
+            val c = graft.operators.QueryMetrics.measure(fn(spark, sfDir))
+            Seq((name, c.shuffleBytesWritten, c.spillBytes))
+          } catch { case _: Throwable => Nil }
+      })
+
     // the dedup family's shared stages are done serving queries — release
     // their persisted blocks so the ingest phase gets the full executor
     // memory (and the smaller RSS it implies)
@@ -137,9 +151,16 @@ object Bench {
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    val volJson = volumes.map { vs =>
+      val sh = vs.map { case (k, b, _) => "\"" + k + "\":" + b }
+        .mkString("{", ",", "}")
+      val sp = vs.map { case (k, _, b) => "\"" + k + "\":" + b }
+        .mkString("{", ",", "}")
+      s""""queries_shuffle_bytes":$sh,"queries_spill_bytes":$sp,"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_ok":$oks,"errors":$errors,""" +
+      s""""queries_ok":$oks,"errors":$errors,$volJson""" +
       s""""images_per_sec":$imagesPerSec,""" +
       s""""images_per_sec_max":$imagesPerSecMax,""" +
       s""""images_per_sec_runs":${runs.mkString("[", ",", "]")},""" +
