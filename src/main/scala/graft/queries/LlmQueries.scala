@@ -1465,6 +1465,223 @@ object LlmQueries {
       .orderBy(col("ahash"))
   }
 
+  /** A04: hash-rank quantile sketch — a deterministic, MERGEABLE quantile
+    * estimator next to a02's KMV cardinality and a03's CMS frequency: the
+    * sample is the k rows with the LOWEST content fingerprint (PolyHash of
+    * the unique line key), so any partitioning — and any later merge of
+    * per-partition sketches — selects the same k rows; quantiles are then
+    * exact order statistics of that fixed sample (no interpolation: the
+    * output values are actual data values, so no float arithmetic at all).
+    *
+    * Scale shape: `orderBy(fp).limit(k)` compiles to TakeOrderedAndProject
+    * — per-partition top-k heaps merged once, never a global sort — and
+    * everything after runs on k=128 rows. This is how a 100 TB percentile
+    * readout avoids q24's full-sort shape (the corpus is never shuffled);
+    * accuracy is the standard bottom-k-sample bound, and the sketch merges
+    * across days/shards by construction. */
+  def a04HashrankQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val keyed = Tables.load(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")).as("kstr"))
+      .withColumn("fp", fingerprint(col("kstr")))
+    // deterministic bottom-k by fingerprint; kstr/v break fp collisions
+    // (the 4-key string has one dupe pair at sf0.001 — v disambiguates)
+    val sample = keyed.orderBy(col("fp"), col("kstr"), col("v")).limit(k)
+    val ranked = sample
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("kstr"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ps = s.range(1).select(explode(array(
+      lit(0.25d), lit(0.5d), lit(0.75d), lit(0.95d))).as("p"))
+    ps.join(ranked, col("rk") === lit(1) + floor(col("p") * (col("n") - 1)))
+      .select(col("p"), col("v").as("value"))
+      .orderBy(col("p"))
+  }
+
+  /** T13: BM25 relevance scoring of the corpus against a fixed query-term
+    * set — the retrieval-side ranking a curation pipeline uses to mine
+    * topical subsets. Uses the rational (pre-log) IDF
+    * `(N - df + 0.5)/(df + 0.5)` so every step is +,-,*,/ on doubles
+    * derived from integers — IEEE-identical cross-engine, unlike ln()
+    * (production BM25 wraps this in ln(); the ranking here is the exact
+    * replayable variant, and swapping ln in is a one-line change). The
+    * per-document sum over query terms is a LEFT FOLD over the terms
+    * sorted by term text, matching the oracle's list_reduce order.
+    *
+    * Scale shape: df and (N, avgdl) are term-vocabulary-sized and scalar
+    * aggregates — both broadcast; the per-doc tf aggregation filters to
+    * the query terms BEFORE exploding, so the shuffle carries only
+    * matching (doc, term) rows; the final top-k is TakeOrdered, never a
+    * global sort. */
+  def t13Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "join")
+    val d = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      // dl is an integer-valued double; sums of it stay exact (< 2^53)
+      .withColumn("dl", size(col("w")).cast("double"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = d
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("w"), t => t.isin(terms: _*))).as("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+      .withColumn("ts",
+        (col("idf") * (col("tf") * lit(2.2d))) /
+          (col("tf") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("t"), col("ts")))),
+        lit(0.0d), (acc, x) => acc + x.getField("ts")), 6).as("score"))
+    perDoc.orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** S08: spherical k-means clustering of the embedding corpus — the
+    * grouping operator next to the s-family's search operators (topic
+    * bucketing, mixture analysis, IVF-list training all reduce to it).
+    * One full Lloyd refinement, replayable exactly: vectors are quantized
+    * to integer-valued doubles (floor(x*1e6) — exact in both engines),
+    * init centroids are the K lowest-id vectors, assignment is argmax
+    * rounded cosine (ties → lowest cid), and the update step sums member
+    * vectors element-wise ([[graft.functions.ArrayElementSum]]) — sums of
+    * integer-valued doubles are EXACT (< 2^53), so the centroid is
+    * order-independent, and cosine against the un-normalized sum equals
+    * cosine against the mean (the 1/n cancels — why spherical k-means
+    * suits cross-engine replay where Euclidean k-means' mean division
+    * would not).
+    *
+    * Scale shape: centroids are K rows — both assignment passes are
+    * broadcast nested-loop joins over a K-row side, the corpus is never
+    * shuffled; the update is one partial-aggregated groupBy(cid). More
+    * Lloyd rounds repeat the same two broadcast stages. */
+  def s08SphericalKmeans(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val e = emb(s, dir).select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * lit(1e6)).cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val c0 = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val asg0 = e.join(broadcast(c0))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val c1 = asg0.groupBy(col("cid"))
+      .agg(ArrayElementSum.column(col("v")).as("sv"))
+      .withColumn("sn", sqrt(dot(col("sv"), col("sv"))))
+    val asg1 = e.join(broadcast(c1))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("v"), col("sv")) / (col("nrm") * col("sn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+    asg1.select(col("vec_id"), col("cid").as("cluster"), col("csim").as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** S09: k-NN label propagation — semi-supervised labeling, the weak
+    * supervision move that turns a small labeled seed set into labels for
+    * the whole corpus (and, run on a held-out split as here, the accuracy
+    * readout for it). Vectors with `vec_id % 5 == 0` are the "unlabeled"
+    * holdout; each takes the majority label of its k=10 nearest labeled
+    * neighbors by rounded cosine (ties: more-similar rank wins the
+    * neighborhood, lower label wins the vote), and the output carries a
+    * correctness flag against the ground-truth label — the accuracy
+    * readout IS the product (on this synthetic corpus labels are
+    * independent of geometry, so it reads the 1/K chance line; on a real
+    * corpus this is the gate before propagating labels at scale).
+    *
+    * Declared brute-force accuracy tier (like s01): the scored join is
+    * holdout × labeled with the HOLDOUT side broadcast — at 100 TB the
+    * scale path replaces the labeled-side scan with s03's IVF probing
+    * (assign holdouts to lists, score only probed lists), same vote
+    * stage. */
+  def s09KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q"), col("label").as("true_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val lab = e.where(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nb"), col("label"), col("v"), col("nrm"))
+    val scored = broadcast(q).join(lab, col("nb") =!= col("q"))
+      .select(col("q"), col("true_label"), col("nb"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val knn = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))))
+      .where(col("rk") <= k)
+    knn.groupBy(col("q"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .where(col("vr") === 1)
+      .select(col("q").as("vec_id"), col("label").as("pred_label"),
+        col("n_votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** D13: cross-source shingle-overlap matrix — the corpus analytics
+    * behind mixture design (p04) and dedup prioritization: for every
+    * source pair, the exact Jaccard overlap of their distinct
+    * 3-word-shingle fingerprint SETS. High-overlap pairs are where
+    * cross-source dedup (d03/d11) pays; near-zero pairs can be mixed
+    * without a cross-pass. Pairs with zero common shingles are omitted
+    * (the join produces no row — the interesting matrix is the sparse
+    * non-zero part).
+    *
+    * Scale shape: reuses the session-cached shingle table (one corpus
+    * read for the whole dedup family), collapses it to distinct
+    * (source, f) — cardinality ≈ vocabulary × sources, far below the
+    * corpus — and the pair intersection is an equi-join ON f: shuffles
+    * are keyed by fingerprint, never a source × source data explosion;
+    * the result is sources² rows, trivially small. */
+  def d13SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sfp = cachedStage(s, dir, "source_fps") {
+      corpusFps(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("f")).distinct()
+    }
+    val card = sfp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sfp.as("x").join(sfp.as("y"),
+        col("x.f") === col("y.f") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source"), col("y.source"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("n_common"))
+    inter
+      .join(card.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(card.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+          .as("jac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1502,6 +1719,11 @@ object LlmQueries {
     "r03_temperature_sample" -> (r03TemperatureSample _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
     "a03_cms_freq" -> (a03CmsFreq _),
+    "a04_hashrank_quantiles" -> (a04HashrankQuantiles _),
+    "t13_bm25" -> (t13Bm25 _),
+    "s08_spherical_kmeans" -> (s08SphericalKmeans _),
+    "s09_knn_label" -> (s09KnnLabel _),
+    "d13_source_overlap" -> (d13SourceOverlap _),
     "s01_ann_cosine_topk" -> (s01AnnTopK _),
     "s02_ann_lsh_topk" -> (s02AnnLshTopK _),
     "s03_ann_ivf_topk" -> (s03AnnIvfTopK _),
@@ -1828,6 +2050,134 @@ object LlmQueries {
         |        ELSE 63.0 * 1000000007 / kth.hk END, 4) AS kmv_est
         |FROM cnt LEFT JOIN kth ON kth.lang = cnt.lang
         |ORDER BY cnt.lang""".stripMargin,
+    "a04_hashrank_quantiles" ->
+      """WITH keyed AS (SELECT l_extendedprice v,
+        |    CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)
+        |      ||'|'||CAST(l_partkey AS VARCHAR)||'|'||CAST(l_suppkey AS VARCHAR) kstr
+        |  FROM lineitem),
+        |fph AS (SELECT v, kstr,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(kstr,'')]),
+        |      (a,b)->(a*31+b)%1000000007) fp
+        |  FROM keyed),
+        |samp AS (SELECT v, kstr FROM fph ORDER BY fp, kstr, v LIMIT 128),
+        |ranked AS (SELECT v,
+        |    ROW_NUMBER() OVER (ORDER BY v, kstr) rk,
+        |    count(*) OVER () n FROM samp),
+        |ps AS (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) p)
+        |SELECT p, v AS value FROM ps JOIN ranked
+        |  ON rk = 1 + floor(p * (n - 1))
+        |ORDER BY p""".stripMargin,
+    "t13_bm25" ->
+      s"""WITH $W,
+         |d AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) dl FROM words),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+         |    sum(dl) / CAST(count(*) AS DOUBLE) avgdl FROM d),
+         |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) tf
+         |  FROM (SELECT doc_id, dl, UNNEST(w) t FROM d)
+         |  WHERE t IN ('spark', 'vector', 'join')
+         |  GROUP BY doc_id, dl, t),
+         |dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY t),
+         |scored AS (SELECT doc_id, tf.t,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |           + CAST(0.75 AS DOUBLE) * dl / avgdl)) ts
+         |  FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN stats),
+         |perdoc AS (SELECT doc_id,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ts ORDER BY t)), (a,b)->a+b), 6) score
+         |  FROM scored GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM perdoc
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |       AS INTEGER) rk, doc_id, score
+         |FROM top ORDER BY rk""".stripMargin,
+    "s09_knn_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |q AS (SELECT vec_id q, label true_label, v qv, nrm qn FROM n
+        |  WHERE vec_id % 5 = 0),
+        |lab AS (SELECT vec_id nb, label, v, nrm FROM n
+        |  WHERE vec_id % 5 <> 0),
+        |scored AS (SELECT q.q, q.true_label, lab.nb, lab.label,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*lab.v[i])),
+        |        (p,s)->p+s) / (q.qn * lab.nrm), 6) sim
+        |  FROM q CROSS JOIN lab),
+        |knn AS (SELECT q, true_label, label FROM (
+        |    SELECT q, true_label, label,
+        |      ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb) rk
+        |    FROM scored) t WHERE rk <= 10),
+        |votes AS (SELECT q, true_label, label, count(*) n_votes
+        |  FROM knn GROUP BY q, true_label, label)
+        |SELECT q AS vec_id, label AS pred_label,
+        |  CAST(n_votes AS BIGINT) AS n_votes,
+        |  CAST(label = true_label AS INTEGER) AS correct
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+        |        ORDER BY n_votes DESC, label) vr FROM votes) t
+        |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "d13_source_overlap" ->
+      s"""WITH $FP,
+         |sfp AS (SELECT DISTINCT d.source, fp.f
+         |  FROM fp JOIN documents d USING (doc_id)),
+         |card AS (SELECT source, count(*) n FROM sfp GROUP BY source),
+         |inter AS (SELECT x.source a, y.source b, count(*) i
+         |  FROM sfp x JOIN sfp y ON x.f = y.f AND x.source < y.source
+         |  GROUP BY x.source, y.source)
+         |SELECT a AS src_a, b AS src_b, CAST(i AS BIGINT) AS n_common,
+         |  round(CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE), 6)
+         |    AS jac
+         |FROM inter JOIN card ca ON ca.source = a
+         |           JOIN card cb ON cb.source = b
+         |ORDER BY src_a, src_b""".stripMargin,
+    "s08_spherical_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * CAST(1000000 AS DOUBLE))) v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |c0 AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |sim0 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN c0 c),
+        |asg0 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM sim0) t WHERE rn = 1),
+        |pos AS (SELECT UNNEST(range(1, 65)) i),
+        |sums AS (SELECT cid, i, sum(v[i]) sv_i
+        |  FROM asg0 CROSS JOIN pos GROUP BY cid, i),
+        |c1 AS (SELECT cid, sv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(sv)+1), i -> sv[i]*sv[i])),
+        |      (p,q)->p+q)) sn
+        |  FROM (SELECT cid, list(sv_i ORDER BY i) sv FROM sums GROUP BY cid)),
+        |sim1 AS (SELECT n.vec_id, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.sv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.sn), 6) csim
+        |  FROM n CROSS JOIN c1 c),
+        |asg1 AS (SELECT vec_id, cid, csim FROM (
+        |    SELECT vec_id, cid, csim,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM sim1) t WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster, csim AS sim FROM asg1
+        |ORDER BY vec_id""".stripMargin,
     "t10_normalize" ->
       """WITH c AS (SELECT doc_id, text,
         |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) canon
