@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 import graft.Tables
-import graft.functions.ArrayElementSum
+import graft.functions.{ArrayElementSum, BloomSketch}
 import graft.functions.TextFunctions._
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -442,22 +442,70 @@ object LlmQueries {
     * equi-join from the training shingles; contamination counts come out
     * of the join's group-by. Never compares documents pairwise. */
   def d07Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val sh = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(col("w"), i + j)): _*)))
-          .as("s"))
-      .select(col("doc_id"), fingerprint(col("s")).as("f"))
-      .dropDuplicates("doc_id", "f")
+    val sh = contamFps(s, dir)
     val eval_ = sh.where(col("doc_id") % 10 === 7).select(col("f")).distinct()
     sh.where(col("doc_id") % 10 =!= 7)
       .join(broadcast(eval_), "f")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct 8-token-shingle fingerprints per document — the
+    * contamination granulariy d07 and a05 share (session-cached so a
+    * sweep derives it once). */
+  private def contamFps(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "contam_fps") {
+      val k = 8
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .where(size(col("w")) >= k)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            i => concat_ws(" ",
+              (0 until k).map(j => element_at(col("w"), i + j)): _*)))
+            .as("s"))
+        .select(col("doc_id"), fingerprint(col("s")).as("f"))
+        .dropDuplicates("doc_id", "f")
+    }
+
+  /** A05: Bloom-filter decontamination — d07's membership check run
+    * against a [[graft.functions.BloomSketch]] bitmap instead of the
+    * exact fingerprint table, with the exact count reported next to the
+    * sketch count per the sketch-family convention (a02/a03): per
+    * flagged document, how many of its shingles the filter accepts
+    * (n_bloom_hits, includes false positives at the designed rate) next
+    * to how many truly overlap the eval set (n_exact_hits; bloom ≥ exact
+    * always — a Bloom filter has no false negatives).
+    *
+    * Scale shape — why this exists next to d07: the filter build is an
+    * OR-mergeable partial aggregate (one pass over the eval set, one
+    * bitmap per partition through the exchange), and the probe is a
+    * map-side codegen'd expression over a plan-constant bitmap —
+    * membership costs ZERO joins and zero shuffles on the 100 TB probe
+    * side, where d07's broadcast join must build + probe a hash table of
+    * the full eval fingerprint set on every executor. The single-row
+    * `.head()` materializing the sketch is control-plane (the bitmap is
+    * a query-plan constant; joining it as a column would copy 1 MB into
+    * every probe row). The exact-readout join stays only to surface the
+    * sketch's error in the verified output. */
+  def a05BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val mBits = 1 << 22
+    val sh = contamFps(s, dir)
+    val eval_ = sh.where(col("doc_id") % 10 === 7).select(col("f")).distinct()
+    val words = eval_
+      .agg(BloomSketch.column(col("f"), mBits).as("bf"))
+      .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val exact = eval_.withColumn("is_exact", lit(1L))
+    sh.where(col("doc_id") % 10 =!= 7)
+      .withColumn("bloom_hit",
+        BloomSketch.probeColumn(words, mBits, col("f")).cast("long"))
+      .where(col("bloom_hit") === 1L)
+      .join(broadcast(exact), Seq("f"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_hits"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_hits"))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
       .orderBy(col("doc_id"))
   }
 
@@ -1720,6 +1768,7 @@ object LlmQueries {
     "a02_kmv_distinct" -> (a02KmvDistinct _),
     "a03_cms_freq" -> (a03CmsFreq _),
     "a04_hashrank_quantiles" -> (a04HashrankQuantiles _),
+    "a05_bloom_decontaminate" -> (a05BloomDecontaminate _),
     "t13_bm25" -> (t13Bm25 _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
@@ -2015,6 +2064,42 @@ object LlmQueries {
          |  CAST(count(*) AS BIGINT) AS n_contaminated_shingles
          |FROM fp JOIN ev USING (f) WHERE doc_id % 10 <> 7
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "a05_bloom_decontaminate" ->
+      s"""WITH $W,
+         |sh AS (SELECT doc_id,
+         |    UNNEST(list_transform(range(1, len(w) - 6),
+         |      i -> list_aggregate(w[i:i+7], 'string_agg', ' '))) AS s
+         |  FROM words WHERE len(w) >= 8),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(s,'')]),
+         |      (a,b)->(a*31+b)%1000000007) f
+         |  FROM sh),
+         |ev AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 7),
+         |pos AS (SELECT DISTINCT UNNEST([
+         |    f % 4194304,
+         |    (f % 4194304 + (1 + f % 4194303)) % 4194304,
+         |    (f % 4194304 + 2*(1 + f % 4194303)) % 4194304]) p
+         |  FROM ev),
+         |wrd AS (SELECT p // 32 wi,
+         |    bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) wd
+         |  FROM pos GROUP BY p // 32),
+         |pp AS (SELECT doc_id, f, UNNEST([
+         |    f % 4194304,
+         |    (f % 4194304 + (1 + f % 4194303)) % 4194304,
+         |    (f % 4194304 + 2*(1 + f % 4194303)) % 4194304]) p
+         |  FROM fp WHERE doc_id % 10 <> 7),
+         |hits AS (SELECT doc_id, f
+         |  FROM pp LEFT JOIN wrd ON pp.p // 32 = wrd.wi
+         |  GROUP BY doc_id, f
+         |  HAVING count(*) FILTER (WHERE
+         |    ((COALESCE(wd, 0) >> CAST(p % 32 AS INTEGER)) & 1) = 1) = 3),
+         |hx AS (SELECT h.doc_id, CASE WHEN e.f IS NULL THEN 0 ELSE 1 END ex
+         |  FROM hits h LEFT JOIN ev e ON h.f = e.f)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits,
+         |  CAST(sum(ex) AS BIGINT) AS n_exact_hits,
+         |  CAST(count(*) - sum(ex) AS BIGINT) AS n_false_pos
+         |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p02_sequence_pack" ->
       s"""WITH $W,
          |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) n_tokens FROM words),
