@@ -66,10 +66,13 @@ object BloomSketch {
 
   /** The three bit positions of a fingerprint: double hashing
     * h1 = f mod m, h2 = 1 + (f mod (m-1)), pos_i = (h1 + i·h2) mod m.
-    * h2 ∈ [1, m-1] is never 0 mod m, so consecutive positions differ. */
+    * h2 ∈ [1, m-1] is never 0 mod m, so consecutive positions differ.
+    * floorMod, not %: PolyHash fingerprints are non-negative (where the
+    * two agree, keeping the DuckDB replay exact) but BloomJoin feeds
+    * xxhash64 keys, which go negative. */
   def positions(mBits: Int, f: Long): Array[Int] = {
-    val h1 = f % mBits
-    val h2 = 1L + f % (mBits - 1)
+    val h1 = java.lang.Math.floorMod(f, mBits.toLong)
+    val h2 = 1L + java.lang.Math.floorMod(f, mBits.toLong - 1L)
     Array.tabulate(Probes)(i => ((h1 + i * h2) % mBits).toInt)
   }
 
@@ -84,8 +87,8 @@ object BloomSketch {
   /** True iff every probe bit of `f` is set — no false negatives ever;
     * false positives at the designed rate. */
   def probe(words: Array[Long], mBits: Int, f: Long): Boolean = {
-    val h1 = f % mBits
-    val h2 = 1L + f % (mBits - 1)
+    val h1 = java.lang.Math.floorMod(f, mBits.toLong)
+    val h2 = 1L + java.lang.Math.floorMod(f, mBits.toLong - 1L)
     var i = 0
     while (i < Probes) {
       val pos = ((h1 + i * h2) % mBits).toInt

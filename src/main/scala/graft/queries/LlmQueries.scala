@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 import graft.Tables
-import graft.functions.{ArrayElementSum, BloomSketch}
+import graft.functions.{ArrayElementSum, BloomSketch, BottomKByHash}
 import graft.functions.TextFunctions._
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -250,7 +250,19 @@ object LlmQueries {
     * Scale shape: trigram explode → two count aggregates (the "model") →
     * join back by trigram/prefix. The model tables are vocabulary-sized
     * (≤ alphabet³ rows), far below the corpus, and broadcast naturally. */
-  def t05TrigramLm(s: SparkSession, dir: String): DataFrame = {
+  def t05TrigramLm(s: SparkSession, dir: String): DataFrame =
+    lmDocScores(s, dir)
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("sv") * lit(1.0d) / (col("n_trigrams") * lit(1000000L)), 4)
+          .as("lm_score"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document trigram-LM aggregates (doc_id, n_trigrams, sv) where
+    * sv = Σ count·v over the doc's trigrams — t05 formats it as a score,
+    * t14 turns it into quality tiers. Session-cached: the model training
+    * and scoring join run once per sweep. */
+  private def lmDocScores(s: SparkSession, dir: String): DataFrame =
+   cachedStage(s, dir, "lm_doc_scores") {
     val d = docs(s, dir).where(length(col("text")) >= 3)
       .select(col("doc_id"), col("text"))
     // Per-(doc, trigram) COUNTS, not per-occurrence rows: the map-side
@@ -288,10 +300,49 @@ object LlmQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_trigrams"),
         sum(col("cnt") * col("v")).as("sv"))
-      .select(col("doc_id"), col("n_trigrams"),
-        round(col("sv") * lit(1.0d) / (col("n_trigrams") * lit(1000000L)), 4)
-          .as("lm_score"))
-      .orderBy(col("doc_id"))
+   }
+
+  /** T14: LM-quality tiers — bucket the corpus into head/middle/tail
+    * quality thirds per language by the t05 trigram-LM score, the CCNet
+    * perplexity-filter move (Wenzek et al. 2020): downstream sampling
+    * keeps the head, inspects the middle, drops the tail. Output is the
+    * per-(lang, tier) census (doc count, score range, integer mean).
+    *
+    * Scale shape — deliberately NOT `ntile() OVER (PARTITION BY lang)`:
+    * that window funnels every document of a language through ONE
+    * partition for the sort, the single-partition-window trap p02
+    * avoids. Instead tier CUTOFFS are order statistics of a per-language
+    * deterministic sample ([[graft.functions.BottomKByHash]] — mergeable
+    * partial aggregate, only 2k-long buffers shuffle), broadcast back,
+    * and tier assignment is a map-side comparison — exactly how CCNet
+    * trains its cutoffs on a sample. Every step is integer arithmetic
+    * (scores are div-scaled longs, cutoff indices are integer div), so
+    * the tier boundaries replay exactly cross-engine. */
+  def t14QualityTiers(s: SparkSession, dir: String): DataFrame = {
+    val k = 99
+    val scores = lmDocScores(s, dir)
+      .select(col("doc_id"), expr("sv div n_trigrams").as("score_ppm"))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("fp", fingerprint(col("doc_id").cast("string")))
+    val cuts = scores.groupBy(col("lang"))
+      .agg(BottomKByHash.column(col("fp"), col("score_ppm"), k).as("pairs"))
+      .select(col("lang"),
+        array_sort(expr("filter(pairs, (x, i) -> i % 2 = 1)")).as("vs"))
+      .select(col("lang"),
+        element_at(col("vs"), expr("1 + (size(vs) - 1) div 3").cast("int"))
+          .as("lo"),
+        element_at(col("vs"), expr("1 + (2 * (size(vs) - 1)) div 3").cast("int"))
+          .as("hi"))
+    scores.join(broadcast(cuts), "lang")
+      .withColumn("tier",
+        when(col("score_ppm") > col("hi"), lit(1))
+          .when(col("score_ppm") > col("lo"), lit(2)).otherwise(lit(3)))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_ppm")).as("min_ppm"),
+        max(col("score_ppm")).as("max_ppm"),
+        expr("sum(score_ppm) div count(1)").as("avg_ppm"))
+      .orderBy(col("lang"), col("tier"))
   }
 
   /** T06: corpus n-gram mining — the top-100 word bigrams by corpus
@@ -543,6 +594,32 @@ object LlmQueries {
       .where(col("bucket") < col("rate10"))
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** R04: per-source document cap — the anti-domination move of
+    * C4/RefinedWeb-style curation: no source (domain) may contribute
+    * more than `cap` documents, the survivors selected by hash-rank —
+    * deterministic and content-independent, so the same documents
+    * survive on any cluster size, any partitioning, and every rerun.
+    *
+    * Scale shape: the per-source selection is
+    * [[graft.functions.BottomKByHash]] — a mergeable partial aggregate
+    * whose buffers are 2·cap longs, so no window ever funnels one
+    * source's documents through a single partition (the per-group-sort
+    * trap t14 also avoids; a `row_number OVER (PARTITION BY source)`
+    * would, and web corpora have million-document domains). Kept ids
+    * explode back out of the buffers: one shuffle of id pairs, total
+    * output bounded by sources × cap. */
+  def r04SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 10
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        fingerprint(col("doc_id").cast("string")).as("fp"))
+      .groupBy(col("source"))
+      .agg(BottomKByHash.column(col("fp"), col("doc_id"), cap).as("pairs"))
+      .select(col("source"),
+        explode(expr("filter(pairs, (x, i) -> i % 2 = 1)")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** P03: training-export manifest — the shard layout + checksums that
@@ -1765,11 +1842,13 @@ object LlmQueries {
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "r03_temperature_sample" -> (r03TemperatureSample _),
+    "r04_source_cap" -> (r04SourceCap _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
     "a03_cms_freq" -> (a03CmsFreq _),
     "a04_hashrank_quantiles" -> (a04HashrankQuantiles _),
     "a05_bloom_decontaminate" -> (a05BloomDecontaminate _),
     "t13_bm25" -> (t13Bm25 _),
+    "t14_quality_tiers" -> (t14QualityTiers _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
     "d13_source_overlap" -> (d13SourceOverlap _),
@@ -1975,6 +2054,50 @@ object LlmQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |       round(sum(v) * 1.0 / (count(*) * 1000000), 4) AS lm_score
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_quality_tiers" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id,
+        |    UNNEST(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+        |  FROM d),
+        |big AS (SELECT
+        |    UNNEST(list_transform(range(1, length(text)),
+        |      i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM d),
+        |c3 AS (SELECT tg, count(*) AS c3 FROM tri GROUP BY tg),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+        |v AS (SELECT t.doc_id, (c3.c3 * 1000000) // c2.c2 AS v
+        |  FROM tri t JOIN c3 USING (tg)
+        |       JOIN c2 ON c2.bg = substr(t.tg, 1, 2)),
+        |sc AS (SELECT doc_id, CAST(sum(v) // count(*) AS BIGINT) score_ppm
+        |  FROM v GROUP BY doc_id),
+        |scl AS (SELECT sc.doc_id, d2.lang, score_ppm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT)
+        |       for x in string_split(CAST(sc.doc_id AS VARCHAR),'')]),
+        |      (a,b)->(a*31+b)%1000000007) AS fp
+        |  FROM sc JOIN documents d2 USING (doc_id)),
+        |samp AS (SELECT lang, score_ppm AS v FROM (
+        |    SELECT lang, score_ppm,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY fp, score_ppm, doc_id) rk
+        |    FROM scl) t WHERE rk <= 99),
+        |st AS (SELECT lang, list(v ORDER BY v) vs FROM samp GROUP BY lang),
+        |cut AS (SELECT lang,
+        |    vs[CAST(1 + (len(vs)-1)//3 AS INTEGER)] lo,
+        |    vs[CAST(1 + (2*(len(vs)-1))//3 AS INTEGER)] hi
+        |  FROM st),
+        |t AS (SELECT s.lang,
+        |    CASE WHEN score_ppm > hi THEN 1
+        |         WHEN score_ppm > lo THEN 2 ELSE 3 END tier,
+        |    score_ppm
+        |  FROM scl s JOIN cut USING (lang))
+        |SELECT lang, CAST(tier AS INTEGER) AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(score_ppm) AS min_ppm, max(score_ppm) AS max_ppm,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_ppm
+        |FROM t GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
     "t06_top_ngrams" ->
       s"""WITH $W,
          |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),
@@ -2120,6 +2243,18 @@ object LlmQueries {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
         |ORDER BY doc_id""".stripMargin,
+    "r04_source_cap" ->
+      """WITH f AS (SELECT source, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT)
+        |       for x in string_split(CAST(doc_id AS VARCHAR),'')]),
+        |      (a,b)->(a*31+b)%1000000007) fp
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) rk
+        |  FROM f)
+        |SELECT source, doc_id FROM r WHERE rk <= 10
+        |ORDER BY source, doc_id""".stripMargin,
     "a02_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
