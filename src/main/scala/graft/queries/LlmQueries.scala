@@ -596,6 +596,60 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T15: Gopher quality rules (Rae et al. 2021, table A1) — the rule
+    * battery web-scale curation applies before any model-based scoring:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    * presence. Output is the per-document flag vector plus the overall
+    * verdict, so downstream filters can keep, route, or audit per rule.
+    *
+    * Every ratio test is CROSS-MULTIPLIED integer arithmetic (10·n_sym <
+    * n_words instead of n_sym/n_words < 0.1) — no float division
+    * anywhere, so the flags replay exactly cross-engine and the same doc
+    * never flips at a boundary. All counts are one stateless projection
+    * over the text; the query is a map-only scan plus the output sort. */
+  def t15GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nOcc = (c: Column, pat: String) =>
+      ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        (nOcc(col("text"), "#") + nOcc(col("text"), "...")).as("n_sym"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l =>
+          substring(ltrim(l), 1, 1).isin("-", "*"))).cast("long")
+          .as("n_bullet"),
+        size(filter(col("lines"), l => l.like("%...")))
+          .cast("long").as("n_ell"),
+        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        stops.map(t => when(array_contains(col("w"), t), lit(1L))
+          .otherwise(lit(0L))).reduce(_ + _).as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .cast("int").as("pass_wc"),
+        (col("sum_len") >= lit(3L) * col("n_words") &&
+          col("sum_len") <= lit(10L) * col("n_words"))
+          .cast("int").as("pass_mwl"),
+        (lit(10L) * col("n_sym") < col("n_words")).cast("int").as("pass_sym"),
+        (lit(10L) * col("n_bullet") < lit(9L) * col("n_lines"))
+          .cast("int").as("pass_bullet"),
+        (lit(10L) * col("n_ell") < lit(3L) * col("n_lines"))
+          .cast("int").as("pass_ellipsis"),
+        (lit(10L) * col("n_alpha") > lit(8L) * col("n_words"))
+          .cast("int").as("pass_alpha"),
+        (col("n_stop") >= 2L).cast("int").as("pass_stop"))
+      .withColumn("pass_all",
+        (col("pass_wc") * col("pass_mwl") * col("pass_sym") *
+          col("pass_bullet") * col("pass_ellipsis") * col("pass_alpha") *
+          col("pass_stop")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** R04: per-source document cap — the anti-domination move of
     * C4/RefinedWeb-style curation: no source (domain) may contribute
     * more than `cap` documents, the survivors selected by hash-rank —
@@ -1849,6 +1903,7 @@ object LlmQueries {
     "a05_bloom_decontaminate" -> (a05BloomDecontaminate _),
     "t13_bm25" -> (t13Bm25 _),
     "t14_quality_tiers" -> (t14QualityTiers _),
+    "t15_gopher_rules" -> (t15GopherRules _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
     "d13_source_overlap" -> (d13SourceOverlap _),
@@ -2243,6 +2298,51 @@ object LlmQueries {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
         |ORDER BY doc_id""".stripMargin,
+    "t15_gopher_rules" ->
+      s"""WITH $W,
+         |base AS (SELECT d.doc_id, d.text, words.w
+         |  FROM documents d JOIN words ON d.doc_id = words.doc_id),
+         |cnt AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) n_words,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, x -> CAST(length(x) AS BIGINT))),
+         |      (a,b)->a+b) sum_len,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) n_sym,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) n_lines,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> substr(ltrim(l), 1, 1) IN ('-', '*'))) AS BIGINT)
+         |      n_bullet,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '%...')) AS BIGINT) n_ell,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS BIGINT) n_alpha,
+         |    (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+         |      n_stop
+         |  FROM base),
+         |fl AS (SELECT doc_id, n_words,
+         |    CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) pass_wc,
+         |    CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+         |      AS INTEGER) pass_mwl,
+         |    CAST(10 * n_sym < n_words AS INTEGER) pass_sym,
+         |    CAST(10 * n_bullet < 9 * n_lines AS INTEGER) pass_bullet,
+         |    CAST(10 * n_ell < 3 * n_lines AS INTEGER) pass_ellipsis,
+         |    CAST(10 * n_alpha > 8 * n_words AS INTEGER) pass_alpha,
+         |    CAST(n_stop >= 2 AS INTEGER) pass_stop
+         |  FROM cnt)
+         |SELECT doc_id, n_words, pass_wc, pass_mwl, pass_sym, pass_bullet,
+         |  pass_ellipsis, pass_alpha, pass_stop,
+         |  CAST(pass_wc * pass_mwl * pass_sym * pass_bullet * pass_ellipsis
+         |    * pass_alpha * pass_stop AS INTEGER) pass_all
+         |FROM fl ORDER BY doc_id""".stripMargin,
     "r04_source_cap" ->
       """WITH f AS (SELECT source, doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
