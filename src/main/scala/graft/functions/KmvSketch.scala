@@ -34,26 +34,13 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double]
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  /** Insert into a sorted distinct k-bounded buffer. */
-  private def insert(acc: Array[Long], x: Long): Array[Long] = {
-    if (acc.length == k && x >= acc(k - 1)) return acc
-    val idx = java.util.Arrays.binarySearch(acc, x)
-    if (idx >= 0) return acc // already held
-    val ins = -idx - 1
-    val n = math.min(acc.length + 1, k)
-    val out = new Array[Long](n)
-    System.arraycopy(acc, 0, out, 0, ins)
-    out(ins) = x
-    System.arraycopy(acc, ins, out, ins + 1, n - ins - 1)
-    out
-  }
-
-  override def reduce(b: Array[Long], a: Long): Array[Long] = insert(b, a)
+  override def reduce(b: Array[Long], a: Long): Array[Long] =
+    KmvSketch.insert(k, b, a)
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var acc = b1
     var i = 0
-    while (i < b2.length) { acc = insert(acc, b2(i)); i += 1 }
+    while (i < b2.length) { acc = KmvSketch.insert(k, acc, b2(i)); i += 1 }
     acc
   }
 
@@ -68,6 +55,48 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double]
 }
 
 object KmvSketch {
+  /** Insert into a sorted distinct k-bounded buffer. */
+  private[functions] def insert(k: Int, acc: Array[Long], x: Long): Array[Long] = {
+    if (acc.length == k && x >= acc(k - 1)) return acc
+    val idx = java.util.Arrays.binarySearch(acc, x)
+    if (idx >= 0) return acc // already held
+    val ins = -idx - 1
+    val n = math.min(acc.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(acc, 0, out, 0, ins)
+    out(ins) = x
+    System.arraycopy(acc, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
   /** Column form: kmv_distinct(hashCol, k). */
   def column(c: Column, k: Int): Column = udaf(new KmvSketch(k)).apply(c)
+
+  /** Buffer form: the sorted k-minimum distinct hashes themselves —
+    * the mergeable representation for sketch SET ALGEBRA (a06): two
+    * groups' buffers union/sort/truncate with plain array functions
+    * into the union's buffer, and the same estimator reads cardinality
+    * off any merged buffer. */
+  def bufferColumn(c: Column, k: Int): Column =
+    udaf(new KmvBuffer(k)).apply(c)
+}
+
+/** [[KmvSketch]] that emits the buffer instead of the estimate. */
+class KmvBuffer(k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
+    with Serializable {
+  require(k >= 2, s"kmv needs k >= 2 (got $k)")
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], a: Long): Array[Long] =
+    KmvSketch.insert(k, b, a)
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var acc = b1
+    var i = 0
+    while (i < b2.length) { acc = KmvSketch.insert(k, acc, b2(i)); i += 1 }
+    acc
+  }
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }

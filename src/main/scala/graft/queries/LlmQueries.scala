@@ -705,6 +705,56 @@ object LlmQueries {
           .as("kmv_est"))
       .orderBy(col("lang"))
 
+  /** A06: KMV sketch set algebra — distinct-cardinality estimates for
+    * UNIONS and INTERSECTIONS of groups, read off merged sketch buffers
+    * (the Theta-sketch capability, Dasgupta et al. 2016): union buffer =
+    * sort-merge-truncate of two k-minimum buffers (pure array ops),
+    * intersection by inclusion–exclusion. Corpus analytics asks exactly
+    * this ("how many distinct documents across en+de?", "how much do
+    * they share?") without re-scanning anything.
+    *
+    * Scale shape — the point of the buffer form: ONE corpus pass builds
+    * a k-long buffer per group ([[graft.functions.KmvSketch]] partial
+    * aggregation); every pairwise estimate after that is arithmetic on
+    * k-long arrays — at 100 TB the pair matrix costs nothing, where the
+    * exact readout (reported alongside, per sketch-family convention)
+    * needs a fingerprint self-join per pair. Estimates are the same
+    * exact-arithmetic form the a02 oracle replays bit-for-bit. */
+  def a06SketchAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val fps = docs(s, dir)
+      .select(col("lang"), fingerprint(col("text")).as("h")).distinct()
+    val bufs = fps.groupBy(col("lang"))
+      .agg(graft.functions.KmvSketch.bufferColumn(col("h"), k).as("buf"),
+        count(lit(1)).as("n_exact"))
+    def est(b: Column): Column =
+      when(size(b) < k, size(b).cast("double"))
+        .otherwise(lit(63.0d * 1000000007L) / element_at(b, k))
+    val a = bufs.select(col("lang").as("lang_a"), col("buf").as("ba"),
+      col("n_exact").as("na"))
+    val b = bufs.select(col("lang").as("lang_b"), col("buf").as("bb"),
+      col("n_exact").as("nb"))
+    val pairs = a.join(b, col("lang_a") < col("lang_b"))
+      .withColumn("mu", slice(array_sort(array_union(col("ba"), col("bb"))),
+        1, k))
+    val inter = fps.as("x").join(fps.as("y"),
+        col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+      .agg(count(lit(1)).as("ni"))
+    pairs.join(inter, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        round(est(col("ba")), 4).as("est_a"),
+        round(est(col("bb")), 4).as("est_b"),
+        round(est(col("mu")), 4).as("est_union"),
+        round(greatest(lit(0.0d),
+          est(col("ba")) + est(col("bb")) - est(col("mu"))), 4)
+          .as("est_inter"),
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
+          .as("n_union_exact"),
+        coalesce(col("ni"), lit(0L)).as("n_inter_exact"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** T10: text canonicalization — the normalize-before-dedup step (lower,
     * trim, collapse runs of whitespace to one space). Exact dedup on raw
     * bytes misses trivially reformatted copies; deduping on the canonical
@@ -1901,6 +1951,7 @@ object LlmQueries {
     "a03_cms_freq" -> (a03CmsFreq _),
     "a04_hashrank_quantiles" -> (a04HashrankQuantiles _),
     "a05_bloom_decontaminate" -> (a05BloomDecontaminate _),
+    "a06_sketch_algebra" -> (a06SketchAlgebra _),
     "t13_bm25" -> (t13Bm25 _),
     "t14_quality_tiers" -> (t14QualityTiers _),
     "t15_gopher_rules" -> (t15GopherRules _),
@@ -1934,6 +1985,10 @@ object LlmQueries {
     s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
        |           FROM $src)""".stripMargin
   private val W = Wfrom("documents")
+  /** KMV estimator over a sorted k=64 buffer list column (a06). */
+  private def kmvEstSql(v: String) =
+    s"CASE WHEN len($v) < 64 THEN CAST(len($v) AS DOUBLE) " +
+      s"ELSE 63.0 * 1000000007 / $v[64] END"
   private def FPfrom(src: String) =
     s"""${Wfrom(src)},
        |shg AS (SELECT doc_id,
@@ -2298,6 +2353,37 @@ object LlmQueries {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
         |ORDER BY doc_id""".stripMargin,
+    "a06_sketch_algebra" ->
+      s"""WITH h AS (SELECT DISTINCT lang,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+         |      (a,b)->(a*31+b)%1000000007) f
+         |  FROM documents),
+         |r AS (SELECT lang, f,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f) rk FROM h),
+         |bu AS (SELECT lang, list(f ORDER BY f) vs FROM r WHERE rk <= 64
+         |  GROUP BY lang),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) n FROM h
+         |  GROUP BY lang),
+         |pm AS (SELECT a.lang lang_a, b.lang lang_b, a.vs va, b.vs vb,
+         |    list_sort(list_distinct(a.vs || b.vs))[1:64] mu
+         |  FROM bu a JOIN bu b ON a.lang < b.lang),
+         |ix AS (SELECT x.lang lang_a, y.lang lang_b,
+         |    CAST(count(*) AS BIGINT) ni
+         |  FROM h x JOIN h y ON x.f = y.f AND x.lang < y.lang
+         |  GROUP BY 1, 2)
+         |SELECT lang_a, lang_b,
+         |  round(${kmvEstSql("va")}, 4) AS est_a,
+         |  round(${kmvEstSql("vb")}, 4) AS est_b,
+         |  round(${kmvEstSql("mu")}, 4) AS est_union,
+         |  round(greatest(0.0, ${kmvEstSql("va")} + ${kmvEstSql("vb")}
+         |    - ${kmvEstSql("mu")}), 4) AS est_inter,
+         |  ea.n + eb.n - COALESCE(ni, 0) AS n_union_exact,
+         |  COALESCE(ni, 0) AS n_inter_exact
+         |FROM pm JOIN ex ea ON ea.lang = lang_a
+         |        JOIN ex eb ON eb.lang = lang_b
+         |        LEFT JOIN ix USING (lang_a, lang_b)
+         |ORDER BY lang_a, lang_b""".stripMargin,
     "t15_gopher_rules" ->
       s"""WITH $W,
          |base AS (SELECT d.doc_id, d.text, words.w
