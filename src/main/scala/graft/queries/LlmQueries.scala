@@ -318,7 +318,18 @@ object LlmQueries {
     * trains its cutoffs on a sample. Every step is integer arithmetic
     * (scores are div-scaled longs, cutoff indices are integer div), so
     * the tier boundaries replay exactly cross-engine. */
-  def t14QualityTiers(s: SparkSession, dir: String): DataFrame = {
+  def t14QualityTiers(s: SparkSession, dir: String): DataFrame =
+    docTiers(s, dir)
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_ppm")).as("min_ppm"),
+        max(col("score_ppm")).as("max_ppm"),
+        expr("sum(score_ppm) div count(1)").as("avg_ppm"))
+      .orderBy(col("lang"), col("tier"))
+
+  /** Per-document (doc_id, lang, score_ppm, tier) — t14's sampled-cutoff
+    * tier assignment, shared with p05's curriculum ordering. */
+  private def docTiers(s: SparkSession, dir: String): DataFrame = {
     val k = 99
     val scores = lmDocScores(s, dir)
       .select(col("doc_id"), expr("sv div n_trigrams").as("score_ppm"))
@@ -337,12 +348,7 @@ object LlmQueries {
       .withColumn("tier",
         when(col("score_ppm") > col("hi"), lit(1))
           .when(col("score_ppm") > col("lo"), lit(2)).otherwise(lit(3)))
-      .groupBy(col("lang"), col("tier"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("score_ppm")).as("min_ppm"),
-        max(col("score_ppm")).as("max_ppm"),
-        expr("sum(score_ppm) div count(1)").as("avg_ppm"))
-      .orderBy(col("lang"), col("tier"))
+      .select(col("doc_id"), col("lang"), col("score_ppm"), col("tier"))
   }
 
   /** T06: corpus n-gram mining — the top-100 word bigrams by corpus
@@ -649,6 +655,26 @@ object LlmQueries {
           col("pass_stop")).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** P05: curriculum ordering — the corpus in training order: quality
+    * tier 1 first (t14's sampled per-language cutoffs), higher LM score
+    * first inside a tier, doc_id breaking ties — the "clean data first"
+    * curriculum a staged pretraining run feeds its loader.
+    *
+    * Scale shape: the global position comes from
+    * [[graft.operators.GlobalRank]] — range-repartition by the order
+    * key, rank per partition, add broadcast offsets — never the
+    * single-partition `row_number() OVER (ORDER BY …)` window. The
+    * oracle replays the rank exactly because the order key
+    * (tier, score, doc_id) is unique. */
+  def p05Curriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalRank.byKey(
+      docTiers(s, dir),
+      Seq(col("tier").asc, col("score_ppm").desc, col("doc_id").asc),
+      "curriculum_pos")
+      .select(col("doc_id"), col("lang"), col("score_ppm"), col("tier"),
+        col("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
 
   /** R04: per-source document cap — the anti-domination move of
     * C4/RefinedWeb-style curation: no source (domain) may contribute
@@ -1942,6 +1968,7 @@ object LlmQueries {
     "p02_sequence_pack" -> (p02SequencePack _),
     "p03_export_manifest" -> (p03ExportManifest _),
     "p04_data_mixture" -> (p04DataMixture _),
+    "p05_curriculum" -> (p05Curriculum _),
     "l01_zorder_layout" -> (l01ZorderLayout _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
@@ -1985,6 +2012,48 @@ object LlmQueries {
     s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
        |           FROM $src)""".stripMargin
   private val W = Wfrom("documents")
+  /** The t14 tier-assignment chain (trigram LM score → sampled per-lang
+    * cutoffs → per-doc tier), shared by the t14 and p05 oracles. Ends in
+    * a `tiers(doc_id, lang, score_ppm, tier)` CTE. */
+  private val TIERSQL =
+    """d AS (SELECT doc_id, text FROM documents
+      |           WHERE length(text) >= 3),
+      |tri AS (SELECT doc_id,
+      |    UNNEST(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+      |  FROM d),
+      |big AS (SELECT
+      |    UNNEST(list_transform(range(1, length(text)),
+      |      i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+      |  FROM d),
+      |c3 AS (SELECT tg, count(*) AS c3 FROM tri GROUP BY tg),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+      |v AS (SELECT t.doc_id, (c3.c3 * 1000000) // c2.c2 AS v
+      |  FROM tri t JOIN c3 USING (tg)
+      |       JOIN c2 ON c2.bg = substr(t.tg, 1, 2)),
+      |sc AS (SELECT doc_id, CAST(sum(v) // count(*) AS BIGINT) score_ppm
+      |  FROM v GROUP BY doc_id),
+      |scl AS (SELECT sc.doc_id, d2.lang, score_ppm,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(x) AS BIGINT)
+      |       for x in string_split(CAST(sc.doc_id AS VARCHAR),'')]),
+      |      (a,b)->(a*31+b)%1000000007) AS fp
+      |  FROM sc JOIN documents d2 USING (doc_id)),
+      |samp AS (SELECT lang, score_ppm AS v FROM (
+      |    SELECT lang, score_ppm,
+      |      ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY fp, score_ppm, doc_id) rk
+      |    FROM scl) t WHERE rk <= 99),
+      |st AS (SELECT lang, list(v ORDER BY v) vs FROM samp GROUP BY lang),
+      |cut AS (SELECT lang,
+      |    vs[CAST(1 + (len(vs)-1)//3 AS INTEGER)] lo,
+      |    vs[CAST(1 + (2*(len(vs)-1))//3 AS INTEGER)] hi
+      |  FROM st),
+      |tiers AS (SELECT s.doc_id, s.lang, s.score_ppm,
+      |    CASE WHEN score_ppm > hi THEN 1
+      |         WHEN score_ppm > lo THEN 2 ELSE 3 END tier
+      |  FROM scl s JOIN cut USING (lang))""".stripMargin
+
   /** KMV estimator over a sorted k=64 buffer list column (a06). */
   private def kmvEstSql(v: String) =
     s"CASE WHEN len($v) < 64 THEN CAST(len($v) AS DOUBLE) " +
@@ -2165,49 +2234,18 @@ object LlmQueries {
         |       round(sum(v) * 1.0 / (count(*) * 1000000), 4) AS lm_score
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t14_quality_tiers" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE length(text) >= 3),
-        |tri AS (SELECT doc_id,
-        |    UNNEST(list_transform(range(1, length(text) - 1),
-        |      i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
-        |  FROM d),
-        |big AS (SELECT
-        |    UNNEST(list_transform(range(1, length(text)),
-        |      i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
-        |  FROM d),
-        |c3 AS (SELECT tg, count(*) AS c3 FROM tri GROUP BY tg),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
-        |v AS (SELECT t.doc_id, (c3.c3 * 1000000) // c2.c2 AS v
-        |  FROM tri t JOIN c3 USING (tg)
-        |       JOIN c2 ON c2.bg = substr(t.tg, 1, 2)),
-        |sc AS (SELECT doc_id, CAST(sum(v) // count(*) AS BIGINT) score_ppm
-        |  FROM v GROUP BY doc_id),
-        |scl AS (SELECT sc.doc_id, d2.lang, score_ppm,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(ascii(x) AS BIGINT)
-        |       for x in string_split(CAST(sc.doc_id AS VARCHAR),'')]),
-        |      (a,b)->(a*31+b)%1000000007) AS fp
-        |  FROM sc JOIN documents d2 USING (doc_id)),
-        |samp AS (SELECT lang, score_ppm AS v FROM (
-        |    SELECT lang, score_ppm,
-        |      ROW_NUMBER() OVER (PARTITION BY lang
-        |        ORDER BY fp, score_ppm, doc_id) rk
-        |    FROM scl) t WHERE rk <= 99),
-        |st AS (SELECT lang, list(v ORDER BY v) vs FROM samp GROUP BY lang),
-        |cut AS (SELECT lang,
-        |    vs[CAST(1 + (len(vs)-1)//3 AS INTEGER)] lo,
-        |    vs[CAST(1 + (2*(len(vs)-1))//3 AS INTEGER)] hi
-        |  FROM st),
-        |t AS (SELECT s.lang,
-        |    CASE WHEN score_ppm > hi THEN 1
-        |         WHEN score_ppm > lo THEN 2 ELSE 3 END tier,
-        |    score_ppm
-        |  FROM scl s JOIN cut USING (lang))
-        |SELECT lang, CAST(tier AS INTEGER) AS tier,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  min(score_ppm) AS min_ppm, max(score_ppm) AS max_ppm,
-        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_ppm
-        |FROM t GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
+      s"""WITH $TIERSQL
+         |SELECT lang, CAST(tier AS INTEGER) AS tier,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(score_ppm) AS min_ppm, max(score_ppm) AS max_ppm,
+         |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_ppm
+         |FROM tiers GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
+    "p05_curriculum" ->
+      s"""WITH $TIERSQL
+         |SELECT doc_id, lang, score_ppm, CAST(tier AS INTEGER) AS tier,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY tier, score_ppm DESC, doc_id)
+         |    AS BIGINT) AS curriculum_pos
+         |FROM tiers ORDER BY curriculum_pos""".stripMargin,
     "t06_top_ngrams" ->
       s"""WITH $W,
          |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),

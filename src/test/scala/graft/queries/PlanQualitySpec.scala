@@ -9,7 +9,8 @@ import graft.epic.{EpicPipeline, ImageFixtures}
 /** Physical-plan assertions: these are the properties that decide whether
   * the same code is still fast at 1000 executors / 100 TB, checked at the
   * plan level so a regression fails CI rather than a cluster. */
-class PlanQualitySpec extends SparkSpec {
+class PlanQualitySpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -123,6 +124,22 @@ class PlanQualitySpec extends SparkSpec {
     // operator-level proof)
     assert(winLines.count(_.contains("windowspecdefinition")) === 2, plan)
     assert(winLines.exists(_.contains("graft_bsum")), plan)
+  }
+
+  test("P05: curriculum position never windows over unpartitioned docs") {
+    val df = LlmQueries.all("p05_curriculum")(spark, sf0001)
+    df.collect()
+    // GlobalRank's shape: the per-slice rank windows PARTITION BY the
+    // partition id; only the numPartitions-row offsets frame (graft_n)
+    // may run unpartitioned (see GlobalRankSpec for the operator proof)
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.map(_.name).contains("graft_n"),
+        s"unpartitioned window outside the offsets frame:\n$w")
+    }
   }
 
   test("S03 IVF: centroids broadcast; list search is never a cartesian") {
