@@ -142,6 +142,15 @@ object Cli {
             result.write.mode("overwrite").parquet(out)
             println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
         }
+      case Some("profile") =>
+        // the t16 one-pass data-quality report over a documents parquet
+        // dir: per column, rows / nulls / KMV distinct estimate
+        val sfDir = opts("in").stripSuffix("/documents.parquet")
+          .stripSuffix("/")
+        graft.queries.LlmQueries.all("t16_table_profile")(spark, sfDir)
+          .collect()
+          .foreach(r => println(s"${r.getString(0)}: rows=${r.getLong(1)} " +
+            s"nulls=${r.getLong(2)} distinct_est=${r.getDouble(3)}"))
       case other =>
         System.err.println(
           s"""usage: graft.Cli <command> [--opt value ...]
@@ -151,6 +160,7 @@ object Cli {
              |  watchlist
              |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
              |  curate    --in SF_DIR --out PARQUET_DIR [--shards N]
+             |  profile   --in SF_DIR
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }

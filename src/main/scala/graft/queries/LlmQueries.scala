@@ -656,6 +656,42 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T16: one-pass table profile — the data-quality report a curation
+    * run opens with: per column, the row count, null count, and a KMV
+    * distinct-cardinality estimate (k=64, the a02 sketch) over the
+    * column's fingerprinted values.
+    *
+    * Scale shape — the reason this is a sketch and not `count(distinct)`
+    * per column: ALL columns profile in ONE corpus pass with map-side
+    * partial aggregation (null counters + KMV buffers cross the shuffle,
+    * never rows), where a multi-column exact distinct plans an Expand
+    * that multiplies the scan by the column count and shuffles each
+    * copy. The unpivot to one-row-per-column runs on the single
+    * aggregated row. Estimates replay exactly in the oracle (the KMV
+    * arithmetic is deterministic). */
+  def t16TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val profiled = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val d = docs(s, dir)
+    // KMV needs UNIFORM hashes; PolyHash of short strings (doc_id,
+    // n_chars digits) stays tiny and would bias the estimator by orders
+    // of magnitude, so spread it first — multiplication by a constant
+    // coprime to the modulus is a bijection on [0, p), replayed exactly
+    // by the oracle
+    val mix = (h: Column) => (h * lit(1103515245L)) % lit(1000000007L)
+    val aggs = profiled.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        round(graft.functions.KmvSketch.column(
+          mix(fingerprint(col(c).cast("string"))), 64), 4).as(s"kd_$c"))
+    }
+    d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr("stack(" + profiled.size + ", " +
+        profiled.map(c => s"'$c', nn_$c, kd_$c").mkString(", ") +
+        ") AS (col_name, n_null, distinct_est)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("distinct_est"))
+      .orderBy(col("col_name"))
+  }
+
   /** P05: curriculum ordering — the corpus in training order: quality
     * tier 1 first (t14's sampled per-language cutoffs), higher LM score
     * first inside a tier, doc_id breaking ties — the "clean data first"
@@ -1461,6 +1497,58 @@ object LlmQueries {
       .orderBy(col("q"), col("rk"))
   }
 
+  /** S10: persisted-index IVF ANN — S03's search split into the
+    * production "index once, probe many" shape via
+    * [[graft.operators.IvfIndex]]: the centroid assignment is
+    * materialized as a cid-PARTITIONED managed table (one directory per
+    * inverted list), and the probe batch joins it on the list id, so
+    * dynamic partition pruning drops the non-probed (K−nProbe)/K of the
+    * index from the scan at runtime — fed by the broadcast probe side,
+    * no driver round-trip ([[PlanQualitySpec]] pins the `dynamicpruning`
+    * partition filter). Same deterministic quantizer as S03 (K lowest-id
+    * vectors; ties → lowest centroid id) so the oracle replays the whole
+    * chain; differs in probe set (every 9th vector) and nProbe=3. */
+  def s10AnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val nProbe = 3
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val toCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = toCent
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        row_number().over(wAsg).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    graft.operators.IvfIndex.write(assigned, "s10_ivf_index")
+    val index = graft.operators.IvfIndex.read(s, "s10_ivf_index")
+    val probes = toCent.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cid"), row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("csim").desc, col("cid"))).as("rn"))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cid"))
+    val scored = broadcast(probes).join(index,
+        probes("cid") === index("cid") && index("vec_id") =!= probes("q"))
+      .select(col("q"), index("vec_id").as("nb"),
+        round(dot(col("qv"), index("v")) / (col("qn") * index("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("rk"), col("nb"), col("sim"))
+      .orderBy(col("q"), col("rk"))
+  }
+
   /** S04: IVF-PQ ANN — product quantization on top of S03's inverted-file
     * search: the memory-compression path that makes billion-vector search
     * feasible (a 64-dim float vector is 256 B; its PQ code is M=4 bytes —
@@ -1982,6 +2070,7 @@ object LlmQueries {
     "t13_bm25" -> (t13Bm25 _),
     "t14_quality_tiers" -> (t14QualityTiers _),
     "t15_gopher_rules" -> (t15GopherRules _),
+    "t16_table_profile" -> (t16TableProfile _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
     "d13_source_overlap" -> (d13SourceOverlap _),
@@ -1992,6 +2081,7 @@ object LlmQueries {
     "s05_ann_recall" -> (s05AnnRecall _),
     "s06_ann_filtered" -> (s06AnnFiltered _),
     "s07_ann_sq8_topk" -> (s07AnnSq8TopK _),
+    "s10_ann_indexed" -> (s10AnnIndexed _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -2141,6 +2231,43 @@ object LlmQueries {
        |  FROM pair_sim WHERE a < 10 AND a <> b)
        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
        |ORDER BY q, rk""".stripMargin
+  /** s10: the same deterministic IVF chain as s03 — the persisted index
+    * holds exactly the assignment rows, so the replay is the s03 SQL with
+    * s10's probe set (every 9th vector) and nProbe=3. */
+  private val S10Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent) t WHERE rn = 1),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id % 9 = 0) t WHERE rn <= 3),
+        |scored AS (SELECT p.q, a.vec_id nb,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
+        |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
+        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
+        |ranked AS (SELECT q, nb, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
+        |         AS INTEGER) rk FROM scored)
+        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
+        |ORDER BY q, rk""".stripMargin
+
   private val S03Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |n AS (SELECT vec_id, v,
@@ -2467,6 +2594,33 @@ object LlmQueries {
          |  CAST(pass_wc * pass_mwl * pass_sym * pass_bullet * pass_ellipsis
          |    * pass_alpha * pass_stop AS INTEGER) pass_all
          |FROM fl ORDER BY doc_id""".stripMargin,
+    "t16_table_profile" ->
+      """WITH f AS (
+        |  SELECT 'doc_id' col_name, CAST(doc_id AS VARCHAR) v FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) n_rows FROM documents),
+        |h AS (SELECT DISTINCT col_name,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(v,'')]),
+        |      (a,b)->(a*31+b)%1000000007) * 1103515245) % 1000000007 h
+        |  FROM f WHERE v IS NOT NULL),
+        |r AS (SELECT col_name, h,
+        |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) rk FROM h),
+        |kth AS (SELECT col_name, h hk FROM r WHERE rk = 64),
+        |cnt AS (SELECT col_name, count(*) nd FROM h GROUP BY col_name),
+        |nulls AS (SELECT col_name,
+        |    CAST(count(*) FILTER (v IS NULL) AS BIGINT) n_null
+        |  FROM f GROUP BY col_name)
+        |SELECT cnt.col_name, nr.n_rows, nulls.n_null,
+        |  round(CASE WHEN kth.hk IS NULL THEN cnt.nd * 1.0
+        |        ELSE 63.0 * 1000000007 / kth.hk END, 4) AS distinct_est
+        |FROM cnt CROSS JOIN nr
+        |     JOIN nulls ON nulls.col_name = cnt.col_name
+        |     LEFT JOIN kth ON kth.col_name = cnt.col_name
+        |ORDER BY cnt.col_name""".stripMargin,
     "r04_source_cap" ->
       """WITH f AS (SELECT source, doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3035,6 +3189,7 @@ object LlmQueries {
          |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
          |ORDER BY q, rk""".stripMargin,
     "s03_ann_ivf_topk" -> S03Sql,
+    "s10_ann_indexed" -> S10Sql,
     "s05_ann_recall" ->
       s"""WITH ex AS ($S01Sql),
          |ap AS ($S03Sql)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def buildIndex(): Unit = {
+    import spark.implicits._
+    val assigned = (1 to 400)
+      .map(i => (i.toLong, Array.fill(4)(i.toDouble), i.toLong % 8))
+      .toDF("vec_id", "v", "cid")
+    IvfIndex.write(assigned, "ivf_spec_index")
+  }
+
+  test("write/read round-trips the assignment, partition column intact") {
+    buildIndex()
+    val back = IvfIndex.read(spark, "ivf_spec_index")
+    assert(back.count() == 400)
+    assert(back.schema("cid").dataType.typeName == "long")
+    val perList = back.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perList.keySet == (0L to 7L).toSet)
+    assert(perList.values.forall(_ == 50L))
+  }
+
+  test("a literal probe reads only its inverted list (static pruning)") {
+    buildIndex()
+    val probe = IvfIndex.read(spark, "ivf_spec_index")
+      .where(col("cid") === 3L)
+    probe.collect()
+    val scans = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the cid predicate must land in PartitionFilters (directory-level
+    // pruning), not DataFilters (row-level, after reading everything)
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("cid"))),
+      probe.queryExecution.executedPlan.toString)
+  }
+
+  test("each inverted list is O(1) files (writer repartitions by cid)") {
+    buildIndex()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val root = Paths.get(warehouse, "ivf_spec_index")
+    val listDirs = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("cid=")).toSeq
+    assert(listDirs.size == 8)
+    listDirs.foreach { d =>
+      val files = Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1,
+        s"expected one file per inverted list, got ${files.size} in $d")
+    }
+  }
+}

@@ -151,6 +151,29 @@ class PlanQualitySpec extends SparkSpec
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("T16: the profile is one pass — no Expand, sketches partial-agg") {
+    val plan = planOf(LlmQueries.all("t16_table_profile")(spark, sf0001))
+    // a multi-column exact-distinct profile plans an Expand that
+    // multiplies the scan by the column count; the KMV profile must not
+    assert(!plan.contains("Expand"), plan)
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_kmvsketch")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected partial KMV buffers under the shuffle:\n$plan")
+  }
+
+  test("S10: the probe join prunes index partitions at runtime (DPP)") {
+    val df = LlmQueries.all("s10_ann_indexed")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the persisted-index scan must carry a dynamicpruning partition
+    // filter fed by the probe side — at K lists/nProbe probed, the
+    // non-probed lists are never read; without the filter every probe
+    // batch full-scans the index
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("S04 IVF-PQ: codebook broadcasts; ADC join is never a cartesian") {
     val plan = planOf(LlmQueries.all("s04_ann_ivfpq_topk")(spark, sf0001))
     // the M×16-row codebook and the K-row coarse centroids broadcast; the
