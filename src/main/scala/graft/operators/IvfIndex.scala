@@ -47,6 +47,21 @@ object IvfIndex {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append a delta batch of assigned vectors into the existing index —
+    * incremental maintenance (the vector analog of
+    * [[IncrementalDedup]]'s snapshot-delta path): new files land ONLY in
+    * the touched inverted-list directories; untouched lists keep their
+    * files byte-identical, so a 100 TB index absorbs a batch at the cost
+    * of the batch, never a rewrite. Same writer discipline as [[write]]
+    * (pre-repartition by `cid` → O(1) new files per touched list).
+    * Re-[[write]] periodically to re-balance lists if the centroid set
+    * is retrained. */
+  def append(assigned: DataFrame, table: String): Unit =
+    assigned.repartition(col("cid"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cid")
+      .format("parquet").saveAsTable(table)
+
   /** The index back as a DataFrame; filters and joins on `cid` prune
     * whole inverted-list directories. */
   def read(spark: SparkSession, table: String): DataFrame =

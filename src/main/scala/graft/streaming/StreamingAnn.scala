@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions.dot
+
+/** Vector-store serving path: a stream of query vectors probes the
+  * persisted [[graft.operators.IvfIndex]] — the online complement of the
+  * batch s10 query. Each micro-batch scores its queries against the
+  * broadcast centroid set, picks the nProbe nearest inverted lists, and
+  * equi-joins the partitioned index on the list id, so each batch reads
+  * only its probed lists (the same partition-pruned scan the batch path
+  * pins in `PlanQualitySpec` S10) and untouched lists cost nothing.
+  *
+  * The probe runs inside `foreachBatch`: the per-query top-nProbe rank
+  * is a non-time window, which an append stream cannot express — and
+  * serving wants batch semantics per micro-batch anyway (every batch is
+  * a complete, independent query set; no cross-batch state). Results are
+  * deterministic per query (cosines rounded to 6, ties → lower id), so
+  * a query answers identically whichever micro-batch delivers it —
+  * [[StreamingAnnSpec]] pins streaming == batch on a split query set.
+  */
+object StreamingAnn {
+
+  /** Answer one batch of queries `(vec_id, v: array<double>)` against
+    * the index: per query, the top-`k` neighbors (by rounded cosine)
+    * within its `nProbe` nearest centroid lists. `centroids` is
+    * `(cid, cv, cn)` — K rows, broadcast. */
+  def probeBatch(queries: DataFrame, centroids: DataFrame, table: String,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col("vec_id").as("q"), col("v").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probes = q.join(broadcast(centroids))
+      .select(col("q"), col("qv"), col("qn"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cid"))
+    val index = spark.table(table)
+    val scored = broadcast(probes).join(index,
+        probes("cid") === index("cid") && index("vec_id") =!= probes("q"))
+      .select(col("q"), index("vec_id").as("nb"),
+        round(dot(col("qv"), index("v")) / (col("qn") * index("nrm")), 6)
+          .as("sim"))
+    scored.select(col("q"), col("nb"), col("sim"),
+        row_number().over(Window.partitionBy(col("q"))
+          .orderBy(col("sim").desc, col("nb"))).as("rk"))
+      .where(col("rk") <= k)
+  }
+
+  /** Serve a query-vector stream: every micro-batch is answered via
+    * [[probeBatch]] and handed to `sink` (append to a results table,
+    * push to a queue — the caller's choice). */
+  def serve(queries: DataFrame, centroids: DataFrame, table: String,
+      k: Int = 5, nProbe: Int = 2)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(probeBatch(batch, centroids, table, k, nProbe))
+      }
+      .start()
+}

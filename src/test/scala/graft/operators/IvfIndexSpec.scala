@@ -46,6 +46,32 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       probe.queryExecution.executedPlan.toString)
   }
 
+  test("append adds a delta batch without rewriting untouched lists") {
+    import spark.implicits._
+    buildIndex()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val untouched = Paths.get(warehouse, "ivf_spec_index", "cid=5")
+    val before = Files.list(untouched).iterator().asScala
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+      .toMap
+    // delta lands only in lists 0..3
+    val delta = (401 to 440)
+      .map(i => (i.toLong, Array.fill(4)(i.toDouble), i.toLong % 4))
+      .toDF("vec_id", "v", "cid")
+    IvfIndex.append(delta, "ivf_spec_index")
+    val back = IvfIndex.read(spark, "ivf_spec_index")
+    assert(back.count() == 440)
+    val perList = back.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perList(5L) == 50L && perList(3L) == 60L)
+    // the untouched list's files are byte-for-byte the ones written before
+    val after = Files.list(untouched).iterator().asScala
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+      .toMap
+    assert(after == before)
+  }
+
   test("each inverted list is O(1) files (writer repartitions by cid)") {
     buildIndex()
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
