@@ -66,4 +66,29 @@ object IvfIndex {
     * whole inverted-list directories. */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compact the inverted-list directories that accumulated small files
+    * from [[append]] batches — each append adds a file per touched list,
+    * and probe latency degrades with footer reads and split planning, not
+    * bytes. Delegates per list directory to [[ParquetCompactor.compact]]
+    * (crash-safe swap; directories at or under `minFiles` files are
+    * skipped, so steady-state runs cost nothing), then refreshes the
+    * table so cached file listings drop. Run between append batches —
+    * the index has no continuous writer, so every list is closed (the
+    * concurrency contract `ParquetCompactor` documents). */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20, minFiles: Int = 8)
+      : Seq[ParquetCompactor.CompactionResult] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lists = fs.listStatus(loc).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .sortBy(_.getPath.getName)
+    val results = lists.map(s => ParquetCompactor.compact(
+      spark, s.getPath.toString, targetFileBytes, minFiles))
+    spark.sql(s"REFRESH TABLE `$table`")
+    results
+  }
 }

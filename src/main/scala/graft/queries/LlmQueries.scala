@@ -712,6 +712,40 @@ object LlmQueries {
         col("curriculum_pos"))
       .orderBy(col("curriculum_pos"))
 
+  /** P06: leakage-safe train/val/test split — the hold-out assignment a
+    * pretraining corpus actually needs: near-duplicate documents must
+    * never straddle splits, or a test document with a train-side
+    * near-copy leaks its answer into training (the benchmark-inflation
+    * mechanism Lee et al. 2021 measure). Each document's split KEY is
+    * its d08 dup-cluster id (min doc_id of the component; unpaired
+    * documents key on themselves), so every near-dup cluster moves into
+    * a split as one unit; the key's fingerprint mod 10 buckets 80/10/10
+    * into train/val/test — content-keyed like r01/r02, never `rand()`,
+    * so assignments survive reruns, repartitions, and corpus appends
+    * (an appended doc joins its cluster's existing split instead of
+    * reshuffling anything).
+    *
+    * Scale shape: the cluster table holds only PAIRED documents — a
+    * tiny fraction of any deduped corpus — so the join back is one
+    * equi-join on doc_id with a small right side (AQE broadcasts it);
+    * bucketing is a map-side expression. Nothing new shuffles the
+    * corpus. */
+  def p06LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val cl = graft.operators.DupClusters.clusters(
+        corpusLshPairs(s, dir).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("lbl"))
+    val keyed = docs(s, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("split_key"))
+    val bkt = fingerprint(col("split_key").cast("string")) % lit(10L)
+    keyed
+      .select(col("doc_id"), col("split_key"),
+        when(bkt === 0L, lit("test")).when(bkt === 1L, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** R04: per-source document cap — the anti-domination move of
     * C4/RefinedWeb-style curation: no source (domain) may contribute
     * more than `cap` documents, the survivors selected by hash-rank —
@@ -2057,6 +2091,7 @@ object LlmQueries {
     "p03_export_manifest" -> (p03ExportManifest _),
     "p04_data_mixture" -> (p04DataMixture _),
     "p05_curriculum" -> (p05Curriculum _),
+    "p06_leakage_split" -> (p06LeakageSplit _),
     "l01_zorder_layout" -> (l01ZorderLayout _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
@@ -2373,6 +2408,30 @@ object LlmQueries {
          |  CAST(ROW_NUMBER() OVER (ORDER BY tier, score_ppm DESC, doc_id)
          |    AS BIGINT) AS curriculum_pos
          |FROM tiers ORDER BY curriculum_pos""".stripMargin,
+    "p06_leakage_split" ->
+      s"""WITH RECURSIVE $JAC,
+         |$LSHCAND,
+         |pairs AS (SELECT jac.a, jac.b FROM jac JOIN cand USING (a, b)
+         |          WHERE jac >= 0.8),
+         |edges AS (SELECT a src, b dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         |cl AS (SELECT id, min(lbl) lbl FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id, COALESCE(cl.lbl, d.doc_id) split_key
+         |          FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |bk AS (SELECT doc_id, split_key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT)
+         |       for x in string_split(CAST(split_key AS VARCHAR),'')]),
+         |      (a,b)->(a*31+b)%1000000007) % 10 bkt
+         |  FROM keyed)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN bkt = 0 THEN 'test' WHEN bkt = 1 THEN 'val'
+         |            ELSE 'train' END split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     "t06_top_ngrams" ->
       s"""WITH $W,
          |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),

@@ -72,6 +72,37 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(after == before)
   }
 
+  test("compact merges appended list files; data and pruning intact") {
+    import spark.implicits._
+    buildIndex()
+    // three delta batches touch lists 0..3 → 4 files in each touched list
+    (1 to 3).foreach { b =>
+      val delta = (500 + b * 100 to 539 + b * 100)
+        .map(i => (i.toLong, Array.fill(4)(i.toDouble), i.toLong % 4))
+        .toDF("vec_id", "v", "cid")
+      IvfIndex.append(delta, "ivf_spec_index")
+    }
+    val before = IvfIndex.read(spark, "ivf_spec_index")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val res = IvfIndex.compact(spark, "ivf_spec_index", minFiles = 2)
+    val byDir = res.map(r => r.dir.split('/').last -> r).toMap
+    assert(!byDir("cid=0").skipped && byDir("cid=0").filesBefore == 4 &&
+      byDir("cid=0").filesAfter == 1)
+    // single-file untouched lists are left alone (no wasted rewrite)
+    assert(byDir("cid=5").skipped && byDir("cid=5").filesAfter == 1)
+    val after = IvfIndex.read(spark, "ivf_spec_index")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(after === before)
+    // the compacted table still partition-prunes
+    val probe = IvfIndex.read(spark, "ivf_spec_index")
+      .where(col("cid") === 2L)
+    assert(probe.count() == 80L)
+    val scans = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("cid"))))
+  }
+
   test("each inverted list is O(1) files (writer repartitions by cid)") {
     buildIndex()
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")

@@ -118,6 +118,32 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("p06 never splits a dup cluster, covers every doc, and is stable") {
+    val split = graft.queries.LlmQueries.p06LeakageSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(split.length.toLong === nDocs)
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the whole point: one split per split_key, so no near-dup cluster
+    // straddles a split boundary — and clustered docs DO share keys here
+    val perKey = split.groupBy(_._2).map { case (_, g) => g.map(_._3).toSet }
+    assert(perKey.forall(_.size == 1))
+    assert(split.groupBy(_._2).exists(_._2.length > 1))
+    // clusters from d08 agree: every cluster member carries the cluster id
+    val cl = graft.queries.LlmQueries.d08DupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val keyOf = split.map(t => t._1 -> t._2).toMap
+    cl.foreach { case (doc, cid) => assert(keyOf(doc) === cid) }
+    // content-keyed: a rerun reproduces the identical assignment
+    val again = graft.queries.LlmQueries.p06LeakageSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.toSeq === again.toSeq)
+    // 80/10/10 in expectation: train strictly dominates each holdout
+    val n = split.groupBy(_._3).map { case (k, g) => k -> g.length }
+    assert(n("train") > n.getOrElse("val", 0) &&
+      n("train") > n.getOrElse("test", 0))
+  }
+
   test("p02 packs the corpus with no gaps: starts are the running total") {
     import spark.implicits._
     val rows = graft.queries.LlmQueries.p02SequencePack(spark, sf0001)
