@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -18,15 +18,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is INT64 TIMESTAMP(NANOS); Spark has no nanosecond timestamp,
-    // so sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    // truncate to microseconds here (Spark's native resolution).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(StructField(n, _, _, _)) =>
+    // The driver has shipped events.ts under two encodings across rounds:
+    // INT64 TIMESTAMP(NANOS) — Spark has no ns timestamp, so sessions set
+    // spark.sql.legacy.parquet.nanosAsLong=true and we truncate to µs —
+    // and TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+    // infers as TIMESTAMP_NTZ (rejected by unix_micros & friends). Both
+    // normalize to the session-zone TIMESTAMP here; every engine session
+    // pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is the
+    // identity on the stored micros.
+    df.schema.find(_.name == "ts") match {
+      case Some(StructField(n, LongType, _, _)) =>
         // integer `div`, NOT `/`: epoch-ns ≈ 1.7e18 exceeds double's 53-bit
         // mantissa, so float division silently perturbs the microseconds
         df.withColumn(n, timestamp_micros(expr(s"$n div 1000")))
-      case None => df
+      case Some(StructField(n, TimestampNTZType, _, _)) =>
+        df.withColumn(n, col(n).cast(TimestampType))
+      case _ => df
     }
   }
 
