@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC snapshot–delta merge (upsert/delete) — the corpus-refresh shape a
+  * standing training corpus actually runs: a small change batch (new
+  * documents, re-crawled revisions, takedown deletions) merges into the
+  * standing table WITHOUT rewriting or reshuffling the standing side.
+  * This is the MERGE INTO of the lakehouse engines (Delta/Iceberg/Hudi),
+  * expressed over the same [[BucketedLayout]] snapshot machinery as
+  * [[IncrementalDedup]] — the data sibling of d11's signature snapshot.
+  *
+  * Semantics — per key, last writer wins:
+  *  - the winner is the row with the highest `version` among the
+  *    snapshot row and all delta rows for that key; the delta wins a
+  *    version tie with the snapshot (a re-send of the same revision must
+  *    be idempotent); among delta rows the tie-break is the full struct
+  *    order (op 'U' < 'D', so a same-version delete beats its upsert —
+  *    deterministic, documented, and a shape real CDC feeds contain);
+  *  - a winning op = 'D' removes the key; a delta key absent from the
+  *    snapshot is an insert; a delete of an absent key is a no-op.
+  *
+  * Layout is the point (the 100 TB shape):
+  *  - the snapshot is bucketed+sorted by `key` ([[writeSnapshot]]), so
+  *    [[merge]]'s single full-outer join reads it bucket-for-bucket with
+  *    NO Exchange on the snapshot side — only the delta (pre-aggregated
+  *    to one winner row per key, tiny by nature) shuffles to the bucket
+  *    count. `SnapshotMergeSpec` pins the Exchange-free snapshot scan.
+  *  - the snapshot is scanned ONCE: untouched keys, updates, inserts and
+  *    deletes all resolve inside the one join (a semi/anti pair would
+  *    scan it twice).
+  * Re-materializing the merge result via [[writeSnapshot]] completes the
+  * refresh cycle; at scale that rewrite touches every bucket, so real
+  * deployments amortize it by stacking several deltas per rewrite —
+  * which this merge supports verbatim (merge the union of deltas).
+  */
+object SnapshotMerge {
+
+  /** Materialize `rows` (schema: key, version, payload…) as the standing
+    * bucketed snapshot table, replacing any previous revision. */
+  def writeSnapshot(rows: DataFrame, table: String, key: String,
+      nBuckets: Int = 32): Unit = {
+    val spark = rows.sparkSession
+    // in-memory catalogs forget tables between sessions but the warehouse
+    // directory survives — clear both (same recovery as IncrementalDedup)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    BucketedLayout.writeBucketed(rows, table, key, nBuckets)
+  }
+
+  /** Merge a CDC `delta` (schema: key, version, op 'U'|'D', payload… —
+    * the snapshot's columns plus `op`) into snapshot `table`; returns the
+    * merged standing corpus (key, version, payload…). */
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+      key: String, versionCol: String = "version",
+      opCol: String = "op"): DataFrame = {
+    val snap = spark.table(table)
+    val payload = snap.columns.filterNot(c => c == key || c == versionCol)
+    // identical struct layout on both sides so the winner comparison and
+    // the final unpack are uniform: (version, opRank, op, payload…).
+    // opRank is the explicit delete-beats-upsert tie rank — the op CHARS
+    // order the wrong way ('U' > 'D'), so ranking on the raw op string
+    // would let a same-version upsert shadow its delete
+    val opRank = when(col(opCol) === "D", lit(1)).otherwise(lit(0))
+    val dStruct = struct(
+      (col(versionCol) +: opRank.as("op_rank") +: col(opCol) +:
+        payload.map(col)): _*)
+    val sStruct = struct(
+      (col(versionCol) +: lit(0).as("op_rank") +: lit("U").as(opCol) +:
+        payload.map(col)): _*)
+    // one winner row per delta key BEFORE the join — the only shuffle of
+    // delta-sized data; struct max = (version, op, payload…) lexicographic
+    val dAgg = delta.groupBy(col(key)).agg(max(dStruct).as("dw"))
+    val winner =
+      when(col("dw").isNull, col("sw"))
+        .when(col("sw").isNull, col("dw"))
+        .when(col("dw").getField(versionCol) >=
+          col("sw").getField(versionCol), col("dw"))
+        .otherwise(col("sw"))
+    snap.select(col(key), sStruct.as("sw"))
+      .join(dAgg, Seq(key), "full_outer")
+      .select(col(key), winner.as("w"))
+      .where(col("w").getField(opCol) === "U")
+      .select(col(key) +:
+        col("w").getField(versionCol).as(versionCol) +:
+        payload.map(c => col("w").getField(c).as(c)): _*)
+  }
+}

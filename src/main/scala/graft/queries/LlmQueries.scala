@@ -692,6 +692,147 @@ object LlmQueries {
       .orderBy(col("col_name"))
   }
 
+  /** T17: HTML extraction — the stage every web corpus runs FIRST
+    * (trafilatura/jusText territory): strip markup, drop head/script
+    * blocks wholesale, discard boilerplate lines (navigation, footer),
+    * decode character entities, and report the extracted content next to
+    * a fingerprint of its bytes. The synthetic corpus is plain text, so
+    * the query deterministically wraps each document in a fixed HTML
+    * shell (title/style head, nav bar, entity-bearing h1, the text as
+    * the sole paragraph, a script tag, an entity-laden footer — derived
+    * from doc_id, the t07 injection pattern) before extracting, so both
+    * engines exercise real markup and the extracted bytes must equal the
+    * original document plus the decoded heading.
+    *
+    * Boilerplate rule (fixed): a trimmed non-empty line is dropped when
+    * it contains the ' | ' navigation separator or opens with the
+    * '&copy;' footer entity. Entity decode order is fixed too —
+    * &lt; / &gt; first, &amp; LAST, so '&amp;lt;' can never
+    * double-decode.
+    *
+    * Scale shape: per-row regexp/array expressions fused into the scan
+    * by codegen — zero shuffles before the presentation sort (the same
+    * class as t07/t08). */
+  def t17HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{margin:0}</style></head><body>" +
+        "<nav>Home | About | Contact</nav><h1>Doc &amp; Title "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><script>var x=1;</script>" +
+        "<footer>&copy; 2024 Example &lt;Corp&gt;</footer></body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"), aug.as("h0"))
+      .select(col("doc_id"),
+        regexp_replace(col("h0"),
+          "<head>.*?</head>|<script>.*?</script>", "").as("h1"))
+      .select(col("doc_id"),
+        split(regexp_replace(col("h1"), "<[^>]*>", "\n"), "\n").as("raw"))
+      .select(col("doc_id"),
+        expr("filter(transform(raw, x -> trim(x)), x -> length(x) > 0)")
+          .as("ls"))
+      .select(col("doc_id"),
+        expr("filter(ls, x -> instr(x, ' | ') = 0 " +
+          "AND substr(x, 1, 6) <> '&copy;')").as("keep"),
+        expr("size(filter(ls, x -> instr(x, ' | ') > 0 " +
+          "OR substr(x, 1, 6) = '&copy;'))").cast("long").as("n_dropped"))
+      .select(col("doc_id"),
+        size(col("keep")).cast("long").as("n_kept"), col("n_dropped"),
+        expr("replace(replace(replace(array_join(keep, ' '), " +
+          "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')").as("content"))
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        length(col("content")).cast("long").as("content_len"),
+        fingerprint(col("content")).as("content_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T18: BPE vocabulary TRAINING — learn the merge table itself
+    * (Sennrich et al. 2016), where t11 only APPLIES a fixed one: per
+    * round, count every adjacent symbol pair across the corpus's word
+    * frequencies, adopt the most frequent pair (ties → lexicographically
+    * first pair) as the next merge rule, rewrite the vocabulary, repeat.
+    * Output is the learned merge table — rank, the two merged symbols,
+    * the fused token, and the pair's corpus count at selection time —
+    * i.e. the `merges.txt` a tokenizer ships.
+    *
+    * Representation is t11's bracketed-symbol form (`"cat"` →
+    * `"[c][a][t]"`), so applying a learned rule is one left-to-right
+    * `replace` and the DuckDB oracle replays every round verbatim
+    * (unrolled: count → argmax → rewrite, eight times).
+    *
+    * Scale shape: training runs over the DISTINCT-word frequency table
+    * (tiny next to the corpus — one groupBy builds it, after which the
+    * corpus is never re-read), each round is one partial-aggregated
+    * pair count plus a map-side rewrite, and the only driver traffic is
+    * the single winning pair per round (a control-plane scalar, the d08
+    * iteration pattern — NOT a data collect). Rounds are inherently
+    * sequential in BPE; production vocab sizes just run more of them. */
+  def t18BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    var words = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "[$1]").as("s"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        val best = words
+          .select(col("cnt"),
+            split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+              .as("y"))
+          .where(size(col("y")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(y) - 1), i -> " +
+              "'[' || element_at(y, i) || '][' || element_at(y, i + 1) " +
+              "|| ']')")).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("p").asc).limit(1).collect()
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          val inner = pair.substring(1, pair.length - 1)
+          val Array(a, b) = inner.split("\\]\\[", 2)
+          learned += ((r, a, b, a + b, best(0).getLong(1)))
+          val next = words
+            .select(call_function("replace", col("s"), lit(pair),
+              lit(s"[${a + b}]")).as("s"), col("cnt"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words = next
+        }
+      }
+    } finally words.unpersist()
+    import s.implicits._
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "merged", "n_occ")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** P07: seeded deterministic corpus shuffle — the global training-order
+    * randomization every pretraining run needs between curriculum stages:
+    * order = ascending hash of (seed, doc_id). Content-keyed like
+    * r01/r02/p06 — NEVER `rand()` — so the order is identical across
+    * reruns, partitionings, and cluster sizes, and a resumed run sees the
+    * same epoch permutation (change the seed constant for a new epoch).
+    *
+    * Scale shape: the global position comes from
+    * [[graft.operators.GlobalRank]] — range-repartition by the hash,
+    * per-partition rank + broadcast offsets — never a single-partition
+    * `row_number() OVER (ORDER BY …)`; the order key (h, doc_id) is
+    * unique so the rank is deterministic and the oracle replays it. */
+  def p07CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"),
+      fingerprint(concat(lit("shuffle:42:"), col("doc_id").cast("string")))
+        .as("h"))
+    graft.operators.GlobalRank.byKey(keyed,
+        Seq(col("h").asc, col("doc_id").asc), "shuffle_pos")
+      .select(col("doc_id"), col("h"), col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
   /** P05: curriculum ordering — the corpus in training order: quality
     * tier 1 first (t14's sampled per-language cutoffs), higher LM score
     * first inside a tier, doc_id breaking ties — the "clean data first"
@@ -1030,6 +1171,41 @@ object LlmQueries {
       size(tokens(col("text"))).cast("long").bitwiseAND(lit(255L)).as("zb"))
     d.withColumn("zkey", graft.operators.ZOrder.zValue(col("za"), col("zb"), 8))
       .withColumn("bucket", expr("zkey div 8192"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L02: CDC snapshot merge — the standing corpus refreshed by a change
+    * batch through [[graft.operators.SnapshotMerge]] (bucketed MERGE
+    * INTO: upserts + deletes, last writer wins). The standing side is
+    * every document at version 1; the delta re-crawls documents with
+    * doc_id % 7 == 3 (version 2: text gains a ' v2' suffix, n_chars
+    * grows by 3) and takes down documents with doc_id % 13 == 5
+    * (version 3 deletes — outranking the re-crawl where both hit the
+    * same doc). Output is the merged corpus: untouched docs at v1,
+    * re-crawled at v2 with the new content fingerprint, deleted docs
+    * absent.
+    *
+    * Scale shape: the snapshot is bucketed by doc_id and scanned ONCE
+    * with no Exchange (`SnapshotMergeSpec` pins it); only the
+    * winner-per-key delta aggregate shuffles. This is the lakehouse
+    * MERGE the corpus-refresh cycle runs at 100 TB — the data sibling
+    * of d11's signature-snapshot probe. */
+  def l02SnapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"), fingerprint(col("text")).as("f1"),
+      fingerprint(concat(col("text"), lit(" v2"))).as("f2"))
+    val snap = base.select(col("doc_id"), lit(1L).as("version"),
+      col("source"), col("n_chars"), col("f1").as("content_fp"))
+    graft.operators.SnapshotMerge.writeSnapshot(snap, "l02_snapshot",
+      "doc_id")
+    val delta = base.where(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), lit(2L).as("version"), lit("U").as("op"),
+        col("source"), (col("n_chars") + 3L).as("n_chars"),
+        col("f2").as("content_fp"))
+      .unionByName(base.where(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit(3L).as("version"), lit("D").as("op"),
+          col("source"), col("n_chars"), col("f1").as("content_fp")))
+    graft.operators.SnapshotMerge.merge(s, "l02_snapshot", delta, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -2093,6 +2269,7 @@ object LlmQueries {
     "p05_curriculum" -> (p05Curriculum _),
     "p06_leakage_split" -> (p06LeakageSplit _),
     "l01_zorder_layout" -> (l01ZorderLayout _),
+    "l02_snapshot_merge" -> (l02SnapshotMerge _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "r03_temperature_sample" -> (r03TemperatureSample _),
@@ -2106,6 +2283,9 @@ object LlmQueries {
     "t14_quality_tiers" -> (t14QualityTiers _),
     "t15_gopher_rules" -> (t15GopherRules _),
     "t16_table_profile" -> (t16TableProfile _),
+    "t17_html_extract" -> (t17HtmlExtract _),
+    "t18_bpe_train" -> (t18BpeTrain _),
+    "p07_corpus_shuffle" -> (p07CorpusShuffle _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
     "d13_source_overlap" -> (d13SourceOverlap _),
@@ -2337,7 +2517,57 @@ object LlmQueries {
         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
         |ORDER BY q, rk""".stripMargin
 
+  /** The t18 oracle, generated: eight unrolled BPE training rounds, each
+    * round = pair count → argmax (ties → min pair string) → vocabulary
+    * rewrite via the same left-to-right `replace` the engine applies.
+    * Programmatic generation keeps the SQL honest — every round is the
+    * identical three CTEs, only the round index varies.
+    *
+    * Every CTE is MATERIALIZED: each round references the previous
+    * round's vocabulary more than once (pair scan + rewrite + two scalar
+    * subqueries), and DuckDB's default CTE inlining would re-expand the
+    * whole chain per reference — ~3^rounds copies of round 0 (measured:
+    * the inlined form never finished at sf0.001; materialized it is
+    * sub-second). */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |    SELECT regexp_replace(w, '(.)', '[\1]', 'g') AS s, cnt
+        |    FROM (SELECT w, count(*) AS cnt FROM (
+        |        SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |    SELECT UNNEST(list_transform(range(1, len(y)),
+        |      i -> '[' || y[i] || '][' || y[i+1] || ']')) AS p, cnt
+        |    FROM (SELECT string_split(substr(s, 2, length(s) - 2), '][') y,
+        |          cnt FROM w${r - 1})
+        |    WHERE len(y) >= 2),
+        |b$r AS MATERIALIZED (
+        |    SELECT p, CAST(sum(cnt) AS BIGINT) AS n FROM p$r GROUP BY p
+        |    ORDER BY n DESC, p LIMIT 1),
+        |w$r AS MATERIALIZED (
+        |    SELECT replace(s, (SELECT p FROM b$r),
+        |      replace((SELECT p FROM b$r), '][', '')) AS s, cnt
+        |    FROM w${r - 1})""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS merge_rank,
+         |  string_split(substr(p, 2, length(p) - 2), '][')[1] AS lhs,
+         |  string_split(substr(p, 2, length(p) - 2), '][')[2] AS rhs,
+         |  replace(substr(p, 2, length(p) - 2), '][', '') AS merged,
+         |  n AS n_occ FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.append(")\nORDER BY merge_rank")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "t18_bpe_train" -> bpeTrainOracleSql(8),
     "t01_token_stats" ->
       s"""WITH $W
          |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
@@ -2432,6 +2662,54 @@ object LlmQueries {
          |       CASE WHEN bkt = 0 THEN 'test' WHEN bkt = 1 THEN 'val'
          |            ELSE 'train' END split
          |FROM bk ORDER BY doc_id""".stripMargin,
+    "t17_html_extract" ->
+      """WITH aug AS (SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{margin:0}</style></head><body>' ||
+        |    '<nav>Home | About | Contact</nav><h1>Doc &amp; Title ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |    '</p><script>var x=1;</script>' ||
+        |    '<footer>&copy; 2024 Example &lt;Corp&gt;</footer></body></html>'
+        |      AS h0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(h0, '<head>.*?</head>|<script>.*?</script>',
+        |                   '', 'g') AS h1
+        |  FROM aug),
+        |ls AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(
+        |      regexp_replace(h1, '<[^>]*>', chr(10), 'g'), chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS ls
+        |  FROM s1),
+        |kp AS (SELECT doc_id,
+        |    list_filter(ls, x -> instr(x, ' | ') = 0
+        |                AND substr(x, 1, 6) <> '&copy;') AS keep,
+        |    len(list_filter(ls, x -> instr(x, ' | ') > 0
+        |                OR substr(x, 1, 6) = '&copy;')) AS n_dropped
+        |  FROM ls),
+        |ct AS (SELECT doc_id, CAST(len(keep) AS BIGINT) AS n_kept,
+        |    CAST(n_dropped AS BIGINT) AS n_dropped,
+        |    replace(replace(replace(array_to_string(keep, ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS content
+        |  FROM kp)
+        |SELECT doc_id, n_kept, n_dropped,
+        |  CAST(length(content) AS BIGINT) AS content_len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(x) AS BIGINT) for x in string_split(content,'')]),
+        |    (a,b)->(a*31+b)%1000000007) AS content_fp
+        |FROM ct ORDER BY doc_id""".stripMargin,
+    "p07_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT)
+        |       for x in string_split('shuffle:42:' ||
+        |                             CAST(doc_id AS VARCHAR),'')]),
+        |      (a,b)->(a*31+b)%1000000007) AS h
+        |  FROM documents)
+        |SELECT doc_id, h,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM k ORDER BY shuffle_pos""".stripMargin,
     "t06_top_ngrams" ->
       s"""WITH $W,
          |bg AS (SELECT UNNEST(list_transform(range(1, len(w)),
@@ -2982,6 +3260,30 @@ object LlmQueries {
         |SELECT doc_id, CAST(za AS BIGINT) AS za, CAST(zb AS BIGINT) AS zb,
         |       zkey, zkey // 8192 AS bucket
         |FROM z ORDER BY doc_id""".stripMargin,
+    "l02_snapshot_merge" ->
+      """WITH fp0 AS (SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) AS f1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT)
+        |       for x in string_split(text || ' v2','')]),
+        |      (a,b)->(a*31+b)%1000000007) AS f2
+        |  FROM documents),
+        |allr AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS version, source, n_chars,
+        |         f1 AS content_fp, 'U' AS op FROM fp0
+        |  UNION ALL
+        |  SELECT doc_id, 2, source, n_chars + 3, f2, 'U' FROM fp0
+        |  WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 3, source, n_chars, f1, 'D' FROM fp0
+        |  WHERE doc_id % 13 = 5),
+        |w AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY doc_id ORDER BY version DESC) rn
+        |      FROM allr)
+        |SELECT doc_id, version, source, n_chars, content_fp
+        |FROM w WHERE rn = 1 AND op = 'U' ORDER BY doc_id""".stripMargin,
     "p03_export_manifest" ->
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -55,6 +55,54 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(countOf("when") === 2L)
   }
 
+  test("t18 training agrees with an independent reference BPE trainer " +
+      "on the corpus") {
+    // independent trainer: per round, count adjacent symbol pairs across
+    // word frequencies, pick the max (ties → minimum BRACKETED pair
+    // string, the engine's comparison key), fuse left-to-right
+    import spark.implicits._
+    val wordCounts = graft.Tables.load(spark, sf0001, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(wordCounts.nonEmpty)
+    var vocab: Seq[(Vector[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val expected = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) =>
+          (-c, s"[$x][$y]")
+        }
+        expected += ((r, a, b, a + b, n))
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    val got = graft.queries.LlmQueries.t18BpeTrain(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === expected.result())
+    // training must actually compound: some learned symbol is length ≥ 3
+    // (a merge consuming an earlier merge's output)
+    assert(got.exists(_._4.length >= 3), got)
+  }
+
   test("agrees with a reference BPE encoder (lowest-rank-first loop) on " +
       "corpus words") {
     // reference implementation: repeatedly merge the lowest-ranked

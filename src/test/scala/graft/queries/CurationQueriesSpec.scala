@@ -62,6 +62,48 @@ class CurationQueriesSpec extends SparkSpec {
     assert(expected.exists(_._4 == 1L) && expected.exists(_._4 == 0L))
   }
 
+  test("t17 extracts the document bytes exactly, dropping nav/footer lines") {
+    val mod = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // precondition for the closed-form expectation below: the synthetic
+    // corpus carries no markup / entity / boilerplate look-alikes (if a
+    // future corpus does, the extraction rule still applies identically
+    // on both engines — only this spec's shortcut needs revisiting)
+    assert(docs.forall { case (_, t) =>
+      !t.contains('<') && !t.contains('&') && !t.contains(" | ") &&
+        t.trim.nonEmpty })
+    val expected = docs.map { case (id, t) =>
+      val content = s"Doc & Title $id ${t.trim}"
+      (id, 2L, 2L, content.length.toLong, polyHash(content))
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.LlmQueries.t17HtmlExtract(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("p07 shuffle is a complete deterministic permutation, not id order") {
+    val mod = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    val out = graft.queries.LlmQueries.p07CorpusShuffle(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    assert(n > 0 && out.map(_._3).toSeq === (1L to n).toSeq)
+    assert(out.map(_._1).distinct.length === n)
+    val expect = out.map(_._1)
+      .sortBy(id => (polyHash(s"shuffle:42:$id"), id)).toSeq
+    assert(out.sortBy(_._3).map(_._1).toSeq === expect)
+    // the permutation must actually permute (id order would mean the
+    // hash degenerated)
+    assert(out.map(_._1).toSeq !== out.map(_._1).sorted.toSeq)
+  }
+
   test("t07 on the corpus: every injected PII instance is found") {
     val out = graft.queries.LlmQueries.t07PiiRedact(spark, sf0001)
     assert(out.where(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
