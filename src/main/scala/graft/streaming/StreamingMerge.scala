@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.SnapshotMerge
+
+/** Streaming counterpart of the batch CDC merge
+  * ([[graft.operators.SnapshotMerge]]): a change stream (upserts +
+  * deletes) maintains the standing bucketed snapshot table continuously —
+  * the "CDC apply" loop of a lakehouse, fed from whatever the change
+  * source is (a crawler's revisit queue, a takedown feed).
+  *
+  * Shape: `foreachBatch`. The merge rewrites a TABLE (not an append
+  * stream), and last-writer-wins across arbitrarily late re-sends is not
+  * expressible as a watermarked streaming aggregate — while inside a
+  * micro-batch the events are just a delta frame, so the batch operator
+  * applies verbatim. Batch and streaming answers therefore agree BY
+  * CONSTRUCTION whatever the event batching, which
+  * `StreamingMergeSpec` pins (same events, 1 batch vs N batches vs batch
+  * operator — identical snapshots).
+  *
+  * The refresh is a stage-and-swap: each micro-batch merges into a
+  * staging table, then swaps it in (drop + rename inside the catalog) —
+  * `saveAsTable(Overwrite)` on the table being read would fail, and a
+  * partial write must never replace a good snapshot. At 100 TB the
+  * rewrite touches every bucket, so a production deployment widens the
+  * trigger interval (stacking more events per rewrite — the batch
+  * operator supports a unioned delta verbatim); the swap itself stays
+  * O(1) catalog metadata.
+  */
+object StreamingMerge {
+
+  /** Merge one micro-batch of CDC events (key, version, op, payload…)
+    * into `table`, atomically swapping the refreshed snapshot in. */
+  def applyBatch(spark: SparkSession, table: String, events: DataFrame,
+      key: String, nBuckets: Int = 32): Unit = {
+    if (!events.isEmpty) {
+      val merged = SnapshotMerge.merge(spark, table, events, key)
+      val stage = s"${table}_stage"
+      SnapshotMerge.writeSnapshot(merged, stage, key, nBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    }
+  }
+
+  /** Wire a CDC event stream onto snapshot `table`: every micro-batch
+    * applies through [[applyBatch]]. Caller starts the returned writer
+    * (checkpointLocation, trigger). */
+  def apply(spark: SparkSession, table: String, events: DataFrame,
+      key: String, nBuckets: Int = 32): DataStreamWriter[Row] =
+    events.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        applyBatch(spark, table, batch, key, nBuckets)
+    }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SnapshotMerge
+
+case class CdcEvent(k: Long, version: Long, op: String, v: String)
+
+class StreamingMergeSpec extends SparkSpec {
+
+  private def snapshot(table: String): Set[(Long, Long, String)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  private def writeBase(table: String): Unit = {
+    import spark.implicits._
+    SnapshotMerge.writeSnapshot(
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+        .toDF("k", "version", "v"),
+      table, "k", nBuckets = 2)
+  }
+
+  private val events = Seq(
+    CdcEvent(2L, 2L, "U", "b2"),   // update
+    CdcEvent(3L, 2L, "D", "x"),    // delete
+    CdcEvent(4L, 1L, "U", "d"),    // insert
+    CdcEvent(4L, 2L, "U", "d2"),   // later revision of the insert
+    CdcEvent(5L, 9L, "D", "x"))    // delete of an absent key: no-op
+
+  private val expectedFinal = Set(
+    (1L, 1L, "a"), (2L, 2L, "b2"), (4L, 2L, "d2"))
+
+  test("a CDC stream maintains the snapshot; any batching gives the " +
+      "batch-merge answer") {
+    import spark.implicits._
+
+    // reference: the batch operator applied to all events at once
+    writeBase("smerge_batch")
+    try {
+      val once = SnapshotMerge.merge(spark, "smerge_batch",
+          events.toDF(), "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(once === expectedFinal)
+    } finally spark.sql("DROP TABLE IF EXISTS smerge_batch")
+
+    // streamed in three micro-batches, cutting MID-KEY (k=4's two
+    // revisions arrive in different batches — the later one must win
+    // across the batch boundary too)
+    writeBase("smerge_stream")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("smerge_ckpt").toString
+    val mem = MemoryStream[CdcEvent](spark, 100)
+    val q = StreamingMerge(spark, "smerge_stream", mem.toDF(), "k",
+        nBuckets = 2)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(events.take(2))
+      q.processAllAvailable()
+      assert(snapshot("smerge_stream") ===
+        Set((1L, 1L, "a"), (2L, 2L, "b2")))
+      mem.addData(events.slice(2, 4))
+      q.processAllAvailable()
+      assert(snapshot("smerge_stream") ===
+        Set((1L, 1L, "a"), (2L, 2L, "b2"), (4L, 2L, "d2")))
+      mem.addData(events.drop(4))
+      q.processAllAvailable()
+      assert(snapshot("smerge_stream") === expectedFinal)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS smerge_stream")
+      spark.sql("DROP TABLE IF EXISTS smerge_stream_stage")
+    }
+  }
+
+  test("an empty micro-batch leaves the snapshot untouched") {
+    writeBase("smerge_empty")
+    try {
+      val before = snapshot("smerge_empty")
+      StreamingMerge.applyBatch(spark, "smerge_empty",
+        spark.emptyDataFrame
+          .select(lit(0L).as("k"), lit(0L).as("version"),
+            lit("U").as("op"), lit("").as("v"))
+          .where(lit(false)),
+        "k", nBuckets = 2)
+      assert(snapshot("smerge_empty") === before)
+    } finally spark.sql("DROP TABLE IF EXISTS smerge_empty")
+  }
+}
