@@ -1921,6 +1921,32 @@ object LlmQueries {
       (length(col("text").cast("binary")) % 48 + 1).as("fake_h"))
       .orderBy(col("doc_id"))
 
+  /** M06: interleaved multimodal sequence packing — the batch-assembly
+    * step of an image-text pretraining pipeline (MMC4/OBELICS shape):
+    * each document's context cost is its EXACT BPE token count (t11's
+    * tokenizer — the budget a sequence length is actually spent in) plus
+    * a fixed 64-patch-token charge per attached image, and documents are
+    * concatenated in key order and sliced into 2048-budget training
+    * sequences. The per-doc image count is a deterministic stand-in
+    * (doc_id mod 3) for the media-table join a production pipeline makes
+    * — the PACKING arithmetic, the part that has to scale, is real.
+    *
+    * Scale shape: [[graft.operators.SequencePacker]]'s two-level prefix
+    * sum — the global running total never funnels through one partition
+    * (plan-asserted in `SequencePackerSpec` for the shared operator);
+    * the cost column itself is per-row codegen'd string arithmetic. */
+  def m06InterleavedPack(s: SparkSession, dir: String): DataFrame = {
+    val costed = docs(s, dir).select(col("doc_id"),
+        bpeTokenCount(col("text")).as("n_text_tokens"),
+        (col("doc_id") % 3).as("n_images"))
+      .withColumn("cost",
+        col("n_text_tokens") + col("n_images") * lit(64L))
+    graft.operators.SequencePacker.pack(costed, "doc_id", "cost", 2048L)
+      .select(col("doc_id"), col("n_text_tokens"), col("n_images"),
+        col("cost"), col("seq_id"), col("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
   /** M02: batch decode + per-asset features through the mapPartitions
     * plumbing. The fake codec is pure mod-1e9+7 arithmetic seeded by the
     * PolyHash text fingerprint (the t04 hash), with pixels on an integer
@@ -2303,6 +2329,7 @@ object LlmQueries {
     "m03_media_frame_sample" -> (m03FrameSample _),
     "m04_media_resize" -> (m04MediaResize _),
     "m05_media_ahash_dedup" -> (m05MediaAhashDedup _),
+    "m06_interleaved_pack" -> (m06InterleavedPack _),
   )
 
   // DuckDB shared fragments — same arithmetic as TextFunctions, same fold
@@ -2516,6 +2543,15 @@ object LlmQueries {
         |         AS INTEGER) rk FROM scored)
         |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
         |ORDER BY q, rk""".stripMargin
+
+  /** The identical merge chain TextFunctions.bpeTokenCount compiles:
+    * bracket every char, then one left-to-right replace per merge rule in
+    * rank order — shared by the t11 and m06 oracles. */
+  private def bpeChainSql: String =
+    graft.functions.TextFunctions.BpeMerges.foldLeft(
+      "regexp_replace(word, '(.)', '[\\1]', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '[$a][$b]', '[$a$b]')"
+    }
 
   /** The t18 oracle, generated: eight unrolled BPE training rounds, each
     * round = pair count → argmax (ties → min pair string) → vocabulary
@@ -3124,13 +3160,7 @@ object LlmQueries {
         |  CAST(length(text) - length(canon) AS BIGINT) AS delta_len
         |FROM c ORDER BY doc_id""".stripMargin,
     "t11_bpe_tokens" -> {
-      // the identical merge chain TextFunctions.bpeTokenCount compiles:
-      // bracket every char, then one left-to-right replace per merge rule
-      // in rank order
-      val chain = graft.functions.TextFunctions.BpeMerges.foldLeft(
-        "regexp_replace(word, '(.)', '[\\1]', 'g')") {
-        case (acc, (a, b)) => s"replace($acc, '[$a][$b]', '[$a$b]')"
-      }
+      val chain = bpeChainSql
       s"""WITH $W
          |SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3142,6 +3172,29 @@ object LlmQueries {
          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_est
          |FROM words JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    "m06_interleaved_pack" -> {
+      val chain = bpeChainSql
+      s"""WITH $W,
+         |t AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, word ->
+         |        CAST(len($chain) - len(replace($chain, '[', ''))
+         |             AS BIGINT))),
+         |      (a,b) -> a + b) AS n_text_tokens
+         |  FROM words),
+         |c AS (SELECT doc_id, n_text_tokens,
+         |    CAST(doc_id % 3 AS BIGINT) AS n_images,
+         |    n_text_tokens + (doc_id % 3) * 64 AS cost
+         |  FROM t),
+         |p AS (SELECT doc_id, n_text_tokens, n_images, cost,
+         |    CAST(COALESCE(SUM(cost) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS strt
+         |  FROM c)
+         |SELECT doc_id, n_text_tokens, n_images, cost,
+         |       strt // 2048 AS seq_id, strt % 2048 AS seq_off
+         |FROM p ORDER BY doc_id""".stripMargin
     },
     "t12_hashed_classifier" ->
       s"""WITH $W,

@@ -104,6 +104,28 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq !== out.map(_._1).sorted.toSeq)
   }
 
+  test("m06 packs interleaved image+text budgets as an exact running " +
+      "total over t11's token counts") {
+    val t11 = graft.queries.LlmQueries.all("t11_bpe_tokens")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.queries.LlmQueries.m06InterleavedPack(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    var running = 0L
+    got.sortBy(_._1).foreach {
+      case (id, nTok, nImg, cost, seqId, seqOff) =>
+        assert(nTok === t11(id), s"doc $id token count diverges from t11")
+        assert(nImg === id % 3)
+        assert(cost === nTok + 64L * nImg)
+        // the packer's (seq_id, seq_off) IS the exclusive running total
+        assert(seqId === running / 2048L && seqOff === running % 2048L,
+          s"doc $id packed at $seqId/$seqOff, expected from total $running")
+        running += cost
+    }
+  }
+
   test("t07 on the corpus: every injected PII instance is found") {
     val out = graft.queries.LlmQueries.t07PiiRedact(spark, sf0001)
     assert(out.where(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||

@@ -115,6 +115,37 @@ class PlanQualitySpec extends SparkSpec
     }
   }
 
+  test("T17/T11: extraction and exact tokenization plan no shuffle " +
+      "before the sort") {
+    // both are per-row string/regex pipelines that must fuse into the
+    // scan: the ONLY Exchange allowed is the presentation ordering
+    for (q <- Seq("t17_html_extract", "t11_bpe_tokens")) {
+      val plan = planOf(LlmQueries.all(q)(spark, sf0001))
+      val shuffles = plan.linesIterator
+        .filter(_.contains("Exchange"))
+        .filterNot(_.contains("rangepartitioning"))
+        .filterNot(_.contains("SinglePartition"))
+        .filterNot(_.contains("BroadcastExchange")).toSeq
+      assert(shuffles.isEmpty, s"$q shuffles:\n${shuffles.mkString("\n")}")
+    }
+  }
+
+  test("P07: the shuffle position never windows over unpartitioned docs") {
+    val df = LlmQueries.all("p07_corpus_shuffle")(spark, sf0001)
+    df.collect()
+    // same GlobalRank shape as P05: per-slice ranks window PARTITION BY
+    // the slice; only the numPartitions-row offsets frame may run
+    // unpartitioned
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.map(_.name).contains("graft_n"),
+        s"unpartitioned window outside the offsets frame:\n$w")
+    }
+  }
+
   test("P02: global prefix sum never windows over unpartitioned raw rows") {
     val plan = planOf(LlmQueries.all("p02_sequence_pack")(spark, sf0001))
     val winLines = plan.linesIterator
