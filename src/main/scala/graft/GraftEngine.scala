@@ -142,6 +142,22 @@ object Cli {
             result.write.mode("overwrite").parquet(out)
             println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
         }
+      case Some("train-bpe") =>
+        // t18's BPE vocabulary training over a documents parquet dir:
+        // writes the learned merge table in the published merges.txt
+        // format (one "left right" pair per line, rank = line order),
+        // directly loadable as a TextFunctions.bpeTokenCount merges table
+        val sfDir = opts("in").stripSuffix("/documents.parquet")
+          .stripSuffix("/")
+        val merges = graft.queries.LlmQueries.all("t18_bpe_train")(
+          spark, sfDir).collect()
+        val lines = merges.map(r => s"${r.getString(1)} ${r.getString(2)}")
+        val out = opts.getOrElse("out", "merges.txt")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        merges.foreach(r => println(s"${r.getInt(0)}: ${r.getString(1)} + " +
+          s"${r.getString(2)} -> ${r.getString(3)} (${r.getLong(4)} occ)"))
+        println(s"wrote ${lines.length} merges -> $out")
       case Some("profile") =>
         // the t16 one-pass data-quality report over a documents parquet
         // dir: per column, rows / nulls / KMV distinct estimate
@@ -161,6 +177,7 @@ object Cli {
              |  serve     [--socket PATH] [--out DIR] [--checkpoint DIR]
              |  curate    --in SF_DIR --out PARQUET_DIR [--shards N]
              |  profile   --in SF_DIR
+             |  train-bpe --in SF_DIR [--out MERGES_TXT]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }
