@@ -602,6 +602,54 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** R05: DSIR-style importance resampling (Xie et al. 2023) — select
+    * raw documents whose hashed-n-gram feature distribution resembles a
+    * TARGET distribution, the model-free data-selection method behind
+    * several modern pretraining mixes. Features are word bigrams
+    * feature-hashed into 4096 buckets; the target is the corpus's
+    * `lang = 'en'` slice (standing in for the curated target set); each
+    * document's score is the integer MEAN over its features of the
+    * scaled target/raw frequency ratio `((ct+1)·1e6) div (cr+1)` — the
+    * rational form of DSIR's log-likelihood ratio (the t13 move: exact
+    * integer arithmetic end-to-end, so the oracle replays bit-for-bit;
+    * log-space weights are a one-line swap when exact replay is not
+    * required). Top-100 by (score, doc_id).
+    *
+    * Scale shape: both frequency tables are ≤4096 rows — broadcast;
+    * the corpus explodes to (doc, bucket) once and scores with ONE
+    * partial-aggregated groupBy; the rank filter compiles to
+    * WindowGroupLimit (per-partition top-k, the q10/r02 shape), never a
+    * global sort of the corpus. */
+  def r05DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096L
+    val feats = docs(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> " +
+          "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (fingerprint(col("bg")) % B).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr("((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)").as("wgt"))
+    val scored = feats.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wgt")).as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        expr("sw div n_feats").as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.select(row_number().over(w).cast("long").as("rk"),
+        col("doc_id"), col("lang"), col("n_feats"), col("score"))
+      .where(col("rk") <= 100)
+      .orderBy(col("rk"))
+  }
+
   /** T15: Gopher quality rules (Rae et al. 2021, table A1) — the rule
     * battery web-scale curation applies before any model-based scoring:
     * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
@@ -2300,6 +2348,7 @@ object LlmQueries {
     "r02_topk_sample" -> (r02TopkSample _),
     "r03_temperature_sample" -> (r03TemperatureSample _),
     "r04_source_cap" -> (r04SourceCap _),
+    "r05_dsir_select" -> (r05DsirSelect _),
     "a02_kmv_distinct" -> (a02KmvDistinct _),
     "a03_cms_freq" -> (a03CmsFreq _),
     "a04_hashrank_quantiles" -> (a04HashrankQuantiles _),
@@ -2882,6 +2931,32 @@ object LlmQueries {
          |SELECT doc_id, n_tokens, strt // 2048 AS seq_id,
          |       strt % 2048 AS seq_off
          |FROM p ORDER BY doc_id""".stripMargin,
+    "r05_dsir_select" ->
+      s"""WITH $W,
+         |bg AS (SELECT doc_id, lang,
+         |    UNNEST(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM words JOIN documents USING (doc_id)
+         |  WHERE len(w) >= 2),
+         |f AS (SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(g,'')]),
+         |      (a,b)->(a*31+b)%1000000007) % 4096 AS b
+         |  FROM bg),
+         |cr AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en'
+         |       GROUP BY b),
+         |ra AS (SELECT cr.b,
+         |    ((COALESCE(ct, 0) + 1) * 1000000) // (cr + 1) AS wgt
+         |  FROM cr LEFT JOIN ct USING (b)),
+         |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(wgt) // count(*) AS BIGINT) AS score
+         |  FROM f JOIN ra USING (b) GROUP BY doc_id, lang),
+         |r AS (SELECT CAST(ROW_NUMBER() OVER
+         |        (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |      doc_id, lang, n_feats, score FROM sc)
+         |SELECT rk, doc_id, lang, n_feats, score FROM r WHERE rk <= 100
+         |ORDER BY rk""".stripMargin,
     "r01_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -104,6 +104,46 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq !== out.map(_._1).sorted.toSeq)
   }
 
+  test("r05 DSIR scores replay as an independent Scala fold and favor " +
+      "the target language") {
+    val mod = 1000000007L
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = docs.flatMap { case (id, lang, t) =>
+      val w = t.trim.split("\\s+")
+      if (w.length < 2) Nil
+      else w.sliding(2).map(p =>
+        (id, lang, polyHash(p.mkString(" ")) % 4096L)).toSeq
+    }
+    val cr = feats.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = feats.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val wgt = cr.map { case (b, c) =>
+      b -> ((ct.getOrElse(b, 0L) + 1L) * 1000000L) / (c + 1L)
+    }
+    val expected = feats.groupBy(x => (x._1, x._2)).map {
+      case ((id, lang), xs) =>
+        (id, lang, xs.length.toLong, xs.map(x => wgt(x._3)).sum / xs.length)
+    }.toSeq.sortBy(x => (-x._4, x._1)).take(100)
+      .zipWithIndex.map { case ((id, lang, nf, s), i) =>
+        (i + 1L, id, lang, nf, s)
+      }
+    val got = graft.queries.LlmQueries.all("r05_dsir_select")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // importance selection must overrepresent the target slice relative
+    // to its corpus share, or the weights aren't doing anything
+    val enTop = got.count(_._3 == "en")
+    val enAll = docs.count(_._2 == "en")
+    assert(enTop * docs.length > enAll * got.length,
+      s"en top-share $enTop/${got.length} vs base $enAll/${docs.length}")
+  }
+
   test("m06 packs interleaved image+text budgets as an exact running " +
       "total over t11's token counts") {
     val t11 = graft.queries.LlmQueries.all("t11_bpe_tokens")(spark, sf0001)
