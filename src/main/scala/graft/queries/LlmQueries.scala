@@ -881,6 +881,34 @@ object LlmQueries {
       .orderBy(col("shuffle_pos"))
   }
 
+  /** P08: epoch manifest — the artifact a training run's dataloader
+    * actually consumes, composing three verified pieces end-to-end: the
+    * seeded global shuffle (p07) fixes the epoch's document order, the
+    * exact BPE token counts (t11) cost each document, the two-level
+    * prefix sum (p02's packer, keyed on the SHUFFLE position) assigns
+    * every document its training sequence and offset, and sequences
+    * shard round-robin across 8 data-parallel readers. Re-running with
+    * the same seed reproduces the identical manifest on any cluster —
+    * the resumability property checkpointed training needs.
+    *
+    * Scale shape: inherits its pieces' — GlobalRank for the order (no
+    * single-partition window), SequencePacker for the running total (no
+    * single-partition window), per-row tokenization (codegen'd, no
+    * shuffle); nothing new shuffles. */
+  def p08EpochManifest(s: SparkSession, dir: String): DataFrame = {
+    val costed = docs(s, dir).select(col("doc_id"),
+      fingerprint(concat(lit("shuffle:42:"), col("doc_id").cast("string")))
+        .as("h"),
+      bpeTokenCount(col("text")).as("n_bpe"))
+    val ordered = graft.operators.GlobalRank.byKey(costed,
+      Seq(col("h").asc, col("doc_id").asc), "shuffle_pos")
+    graft.operators.SequencePacker.pack(ordered,
+        key = "shuffle_pos", nTokens = "n_bpe", seqLen = 2048L)
+      .select(col("doc_id"), col("shuffle_pos"), col("n_bpe"),
+        col("seq_id"), col("seq_off"), (col("seq_id") % 8L).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** P05: curriculum ordering — the corpus in training order: quality
     * tier 1 first (t14's sampled per-language cutoffs), higher LM score
     * first inside a tier, doc_id breaking ties — the "clean data first"
@@ -2361,6 +2389,7 @@ object LlmQueries {
     "t17_html_extract" -> (t17HtmlExtract _),
     "t18_bpe_train" -> (t18BpeTrain _),
     "p07_corpus_shuffle" -> (p07CorpusShuffle _),
+    "p08_epoch_manifest" -> (p08EpochManifest _),
     "s08_spherical_kmeans" -> (s08SphericalKmeans _),
     "s09_knn_label" -> (s09KnnLabel _),
     "d13_source_overlap" -> (d13SourceOverlap _),
@@ -2783,6 +2812,35 @@ object LlmQueries {
         |    [CAST(ascii(x) AS BIGINT) for x in string_split(content,'')]),
         |    (a,b)->(a*31+b)%1000000007) AS content_fp
         |FROM ct ORDER BY doc_id""".stripMargin,
+    "p08_epoch_manifest" -> {
+      val chain = bpeChainSql
+      s"""WITH $W,
+         |k AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT)
+         |       for x in string_split('shuffle:42:' ||
+         |                             CAST(doc_id AS VARCHAR),'')]),
+         |      (a,b)->(a*31+b)%1000000007) AS h
+         |  FROM documents),
+         |o AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id)
+         |        AS BIGINT) AS shuffle_pos
+         |      FROM k),
+         |t AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, word ->
+         |        CAST(len($chain) - len(replace($chain, '[', ''))
+         |             AS BIGINT))),
+         |      (a,b) -> a + b) AS n_bpe
+         |  FROM words),
+         |p AS (SELECT o.doc_id, shuffle_pos, n_bpe,
+         |    CAST(COALESCE(SUM(n_bpe) OVER (ORDER BY shuffle_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS strt
+         |  FROM o JOIN t USING (doc_id))
+         |SELECT doc_id, shuffle_pos, n_bpe, strt // 2048 AS seq_id,
+         |       strt % 2048 AS seq_off, (strt // 2048) % 8 AS shard
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "p07_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -166,6 +166,29 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("p08 epoch manifest composes shuffle order, exact token costs " +
+      "and packing consistently") {
+    val pos = graft.queries.LlmQueries.p07CorpusShuffle(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val bpe = graft.queries.LlmQueries.all("t11_bpe_tokens")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.queries.LlmQueries.p08EpochManifest(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.length === pos.size)
+    var running = 0L
+    got.sortBy(_._2).foreach {
+      case (id, p, nBpe, seqId, seqOff, shard) =>
+        assert(p === pos(id), s"doc $id manifest position diverges from p07")
+        assert(nBpe === bpe(id), s"doc $id token cost diverges from t11")
+        assert(seqId === running / 2048L && seqOff === running % 2048L,
+          s"doc $id packed at $seqId/$seqOff, expected from total $running")
+        assert(shard === seqId % 8L)
+        running += nBpe
+    }
+  }
+
   test("t07 on the corpus: every injected PII instance is found") {
     val out = graft.queries.LlmQueries.t07PiiRedact(spark, sf0001)
     assert(out.where(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Pins the testdata schema contract every query relies on, so a
+  * driver-side regeneration of the parquet tables surfaces as THIS
+  * failure with a named column, not as dozens of inscrutable downstream
+  * errors. Round 7 precedent: `events.ts` silently switched encodings
+  * between rounds (ns-INT64 → µs-NTZ) and three queries started throwing
+  * mid-gate — `Tables.load` now normalizes both, and this spec is where
+  * the NEXT such drift gets caught first. Types are asserted AFTER
+  * `Tables.load`, i.e. on what queries actually see. */
+class TestdataContractSpec extends SparkSpec {
+
+  private def contract: Map[String, Map[String, DataType]] = Map(
+    "documents" -> Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Map(
+      "vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType),
+    // ts asserted as the session-zone timestamp Tables.load guarantees,
+    // whatever parquet encoding the driver ships this round
+    "events" -> Map(
+      "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType),
+    "lineitem" -> Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_returnflag" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "orders" -> Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType),
+    "customer" -> Map(
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+      "c_acctbal" -> DoubleType))
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"tables at $sf carry the columns and types the queries read") {
+      contract.foreach { case (table, cols) =>
+        val schema = graft.Tables.load(spark, sf, table).schema
+        cols.foreach { case (name, expected) =>
+          val field = schema.find(_.name == name)
+          assert(field.isDefined,
+            s"$table at $sf lost column '$name' — the driver regenerated " +
+              s"testdata with a new shape; audit Tables.load and every " +
+              s"query reading it (schema now: ${schema.simpleString})")
+          assert(field.get.dataType == expected,
+            s"$table.$name at $sf changed type: " +
+              s"${field.get.dataType.simpleString} (queries expect " +
+              s"${expected.simpleString}) — normalize it in Tables.load " +
+              s"like the ts encodings")
+        }
+      }
+    }
+  }
+}
