@@ -72,6 +72,13 @@ class GraftEngine(val spark: SparkSession, val store: WatchStoreApi) {
 /** C4: thin CLI over the facade (the reference's `epic-stream-processor
   * watch` / `start` commands, __main__.py:22-231). */
 object Cli {
+  /** `--in` accepts the sf dir, the documents.parquet path, or either
+    * with a trailing slash (tab-completion leaves one on the
+    * directory-shaped parquet) — strip the slash FIRST or the
+    * documents.parquet suffix never matches. */
+  private def sfDirOf(in: String): String =
+    in.stripSuffix("/").stripSuffix("/documents.parquet")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -121,7 +128,7 @@ object Cli {
         // keyed sorted shard dirs plus the verifiable checksum manifest
         val in = opts("in")
         val out = opts("out")
-        val sfDir = in.stripSuffix("/documents.parquet").stripSuffix("/")
+        val sfDir = sfDirOf(in)
         val kept = graft.queries.LlmQueries.all("p01_curation_pipeline")(
           spark, sfDir)
         // p01 returns only (doc_id, n_tokens, quality) — the oracle's
@@ -147,8 +154,7 @@ object Cli {
         // writes the learned merge table in the published merges.txt
         // format (one "left right" pair per line, rank = line order),
         // directly loadable as a TextFunctions.bpeTokenCount merges table
-        val sfDir = opts("in").stripSuffix("/documents.parquet")
-          .stripSuffix("/")
+        val sfDir = sfDirOf(opts("in"))
         val merges = graft.queries.LlmQueries.all("t18_bpe_train")(
           spark, sfDir).collect()
         val lines = merges.map(r => s"${r.getString(1)} ${r.getString(2)}")
@@ -161,8 +167,7 @@ object Cli {
       case Some("profile") =>
         // the t16 one-pass data-quality report over a documents parquet
         // dir: per column, rows / nulls / KMV distinct estimate
-        val sfDir = opts("in").stripSuffix("/documents.parquet")
-          .stripSuffix("/")
+        val sfDir = sfDirOf(opts("in"))
         graft.queries.LlmQueries.all("t16_table_profile")(spark, sfDir)
           .collect()
           .foreach(r => println(s"${r.getString(0)}: rows=${r.getLong(1)} " +

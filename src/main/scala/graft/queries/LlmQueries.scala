@@ -617,21 +617,26 @@ object LlmQueries {
     *
     * Scale shape: both frequency tables are ≤4096 rows — broadcast;
     * the corpus explodes to (doc, bucket) once and scores with ONE
-    * partial-aggregated groupBy; the rank filter compiles to
-    * WindowGroupLimit (per-partition top-k, the q10/r02 shape), never a
-    * global sort of the corpus. */
+    * partial-aggregated groupBy; the limit pushes below the rank window
+    * (TakeOrderedAndProject per-partition top-k heaps feeding a 100-row
+    * window — plan-pinned), never a global sort of the corpus. */
   def r05DsirSelect(s: SparkSession, dir: String): DataFrame = {
     val B = 4096L
-    val feats = docs(s, dir)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, size(w) - 1), i -> " +
-          "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
-          .as("bg"))
-      .select(col("doc_id"), col("lang"),
-        (fingerprint(col("bg")) % B).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers (raw counts, target counts, scoring) — session
+    // stage cache, NOT a bare persist: clearStageCache() must be able to
+    // release the per-occurrence frame (the largest intermediate here)
+    // when the sweep moves on, like the dedup family's stages
+    val feats = cachedStage(s, dir, "dsir_feats") {
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(w) - 1), i -> " +
+            "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+            .as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (fingerprint(col("bg")) % B).as("b"))
+    }
     val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = feats.where(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -780,13 +785,14 @@ object LlmQueries {
       .select(col("doc_id"),
         expr("filter(transform(raw, x -> trim(x)), x -> length(x) > 0)")
           .as("ls"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
         expr("filter(ls, x -> instr(x, ' | ') = 0 " +
-          "AND substr(x, 1, 6) <> '&copy;')").as("keep"),
-        expr("size(filter(ls, x -> instr(x, ' | ') > 0 " +
-          "OR substr(x, 1, 6) = '&copy;'))").cast("long").as("n_dropped"))
+          "AND substr(x, 1, 6) <> '&copy;')").as("keep"))
       .select(col("doc_id"),
-        size(col("keep")).cast("long").as("n_kept"), col("n_dropped"),
+        size(col("keep")).cast("long").as("n_kept"),
+        // dropped = total − kept: one predicate pass, and the two counts
+        // can never drift apart when the boilerplate rule is edited
+        (col("n_lines") - size(col("keep"))).cast("long").as("n_dropped"),
         expr("replace(replace(replace(array_join(keep, ' '), " +
           "'&lt;', '<'), '&gt;', '>'), '&amp;', '&')").as("content"))
       .select(col("doc_id"), col("n_kept"), col("n_dropped"),
@@ -2795,14 +2801,12 @@ object LlmQueries {
         |      regexp_replace(h1, '<[^>]*>', chr(10), 'g'), chr(10)),
         |      x -> trim(x)), x -> length(x) > 0) AS ls
         |  FROM s1),
-        |kp AS (SELECT doc_id,
+        |kp AS (SELECT doc_id, len(ls) AS n_lines,
         |    list_filter(ls, x -> instr(x, ' | ') = 0
-        |                AND substr(x, 1, 6) <> '&copy;') AS keep,
-        |    len(list_filter(ls, x -> instr(x, ' | ') > 0
-        |                OR substr(x, 1, 6) = '&copy;')) AS n_dropped
+        |                AND substr(x, 1, 6) <> '&copy;') AS keep
         |  FROM ls),
         |ct AS (SELECT doc_id, CAST(len(keep) AS BIGINT) AS n_kept,
-        |    CAST(n_dropped AS BIGINT) AS n_dropped,
+        |    CAST(n_lines - len(keep) AS BIGINT) AS n_dropped,
         |    replace(replace(replace(array_to_string(keep, ' '),
         |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS content
         |  FROM kp)

@@ -23,21 +23,34 @@ import graft.operators.SnapshotMerge
   * The refresh is a stage-and-swap: each micro-batch merges into a
   * staging table, then swaps it in (drop + rename inside the catalog) —
   * `saveAsTable(Overwrite)` on the table being read would fail, and a
-  * partial write must never replace a good snapshot. At 100 TB the
-  * rewrite touches every bucket, so a production deployment widens the
-  * trigger interval (stacking more events per rewrite — the batch
-  * operator supports a unioned delta verbatim); the swap itself stays
-  * O(1) catalog metadata.
+  * partial STAGE write must never replace a good snapshot. The
+  * drop+rename pair is NOT atomic: a crash between the two statements
+  * leaves only the fully-written stage table, so [[applyBatch]] opens by
+  * self-healing that state (stage present + snapshot absent → the stage
+  * IS the snapshot: rename it in and continue). Data is never lost; the
+  * assumption is the streaming query's own single-writer refresh loop
+  * (a concurrent reader can observe the table absent for the instant
+  * between drop and rename — readers needing isolation snapshot the
+  * table name per epoch). At 100 TB the rewrite touches every bucket,
+  * so a production deployment widens the trigger interval (stacking
+  * more events per rewrite — the batch operator supports a unioned
+  * delta verbatim); the swap itself stays O(1) catalog metadata.
   */
 object StreamingMerge {
 
   /** Merge one micro-batch of CDC events (key, version, op, payload…)
-    * into `table`, atomically swapping the refreshed snapshot in. */
+    * into `table`, swapping the refreshed snapshot in via the staged
+    * rename above (self-healing if a previous swap crashed mid-pair). */
   def applyBatch(spark: SparkSession, table: String, events: DataFrame,
       key: String, nBuckets: Int = 32): Unit = {
+    val stage = s"${table}_stage"
+    // crash recovery: a prior run died between DROP and RENAME — the
+    // stage table is the complete refreshed snapshot; finish its swap
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
     if (!events.isEmpty) {
       val merged = SnapshotMerge.merge(spark, table, events, key)
-      val stage = s"${table}_stage"
       SnapshotMerge.writeSnapshot(merged, stage, key, nBuckets)
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")

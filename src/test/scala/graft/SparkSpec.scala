@@ -22,4 +22,12 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** The engine's PolyHash fold (TextFunctions.fingerprint / the DuckDB
+    * oracle's ascii()-fold), for independent replays in specs — one
+    * definition, so a change to the fingerprint arithmetic has exactly
+    * one test-side site to update. */
+  def polyHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((a, b) =>
+      (a * 31 + (b & 0xff)) % 1000000007L)
 }

@@ -41,9 +41,6 @@ class CurationQueriesSpec extends SparkSpec {
   }
 
   test("t12 hashed classifier replays as an independent Scala fold") {
-    val mod = 1000000007L
-    def polyHash(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
     def weight(j: Long): Long = (j * 2654435761L) % 2001 - 1000
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
@@ -63,9 +60,6 @@ class CurationQueriesSpec extends SparkSpec {
   }
 
   test("t17 extracts the document bytes exactly, dropping nav/footer lines") {
-    val mod = 1000000007L
-    def polyHash(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -88,9 +82,6 @@ class CurationQueriesSpec extends SparkSpec {
   }
 
   test("p07 shuffle is a complete deterministic permutation, not id order") {
-    val mod = 1000000007L
-    def polyHash(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
     val out = graft.queries.LlmQueries.p07CorpusShuffle(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val n = out.length
@@ -106,9 +97,6 @@ class CurationQueriesSpec extends SparkSpec {
 
   test("r05 DSIR scores replay as an independent Scala fold and favor " +
       "the target language") {
-    val mod = 1000000007L
-    def polyHash(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % mod)
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

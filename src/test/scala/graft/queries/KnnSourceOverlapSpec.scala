@@ -61,8 +61,8 @@ class KnnSourceOverlapSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def polyHash(s: String): Long =
-      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    // (the SparkSpec polyHash folds UTF-8 bytes; the removed local copy
+    // folded chars — identical on this ASCII-pinned corpus)
     val bySource = docs.groupBy(_._2).map { case (src, ds) =>
       val fps = ds.flatMap { case (_, _, t) =>
         val w = t.trim.split("\\s+").toSeq

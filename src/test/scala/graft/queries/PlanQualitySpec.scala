@@ -48,6 +48,21 @@ class PlanQualitySpec extends SparkSpec
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("R05: DSIR top-k bounds below the rank window; the ratio table " +
+      "broadcasts") {
+    val plan = planOf(LlmQueries.all("r05_dsir_select")(spark, sf0001))
+    // the limit must reach below the rank window so the scored corpus is
+    // never globally sorted: either WindowGroupLimit or (what Spark 4
+    // actually plans here) LimitPushDownThroughWindow leaving a
+    // TakeOrderedAndProject under the 100-row window
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"), plan)
+    // the ≤4096-row frequency-ratio table joins broadcast
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("A02: KMV sketch partial-aggregates map-side (buffers cross the " +
       "shuffle, not rows)") {
     val plan = planOf(LlmQueries.all("a02_kmv_distinct")(spark, sf0001))

@@ -12,9 +12,6 @@ import graft.SparkSpec
   */
 class SketchRankClusterSpec extends SparkSpec {
 
-  private def polyHash(s: String): Long =
-    s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
-
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
