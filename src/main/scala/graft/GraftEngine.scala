@@ -77,7 +77,13 @@ object Cli {
     * directory-shaped parquet) — strip the slash FIRST or the
     * documents.parquet suffix never matches. */
   private def sfDirOf(in: String): String =
-    in.stripSuffix("/").stripSuffix("/documents.parquet")
+    in.stripSuffix("/").stripSuffix("/documents.parquet") match {
+      // a bare relative `documents.parquet` (run from inside the sf dir)
+      // has no slash for the suffix strip to catch — it IS the table, so
+      // the sf dir is the cwd
+      case "documents.parquet" => "."
+      case d => d
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -62,6 +62,22 @@ object IvfIndex {
       .partitionBy("cid")
       .format("parquet").saveAsTable(table)
 
+  /** [[append]] under the [[TableCommit]] protocol: concurrent appenders
+    * to the same index serialize (two simultaneous `saveAsTable(Append)`
+    * calls race the catalog and can interleave partial file sets); the
+    * loser gets [[TableCommit.ConcurrentWriteException]] and retries.
+    * Unlike [[SnapshotMerge.mergeCommit]] the write itself runs inside
+    * the lock — an append is delta-sized by nature, and it does not read
+    * the table, so there is no stale-base state to stage outside. */
+  def appendCommit(assigned: DataFrame, table: String): Long = {
+    val spark = assigned.sparkSession
+    val base = TableCommit.epochOf(spark, table)
+    TableCommit.commit(spark, table, base) {
+      append(assigned, table)
+      base + 1
+    }
+  }
+
   /** The index back as a DataFrame; filters and joins on `cid` prune
     * whole inverted-list directories. */
   def read(spark: SparkSession, table: String): DataFrame =

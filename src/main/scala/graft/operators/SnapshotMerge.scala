@@ -52,6 +52,32 @@ object SnapshotMerge {
     BucketedLayout.writeBucketed(rows, table, key, nBuckets)
   }
 
+  /** [[merge]] + stage write + swap under the [[TableCommit]] protocol —
+    * the concurrent-writer-safe refresh. The heavy stage write happens
+    * outside the lock against a per-attempt stage name (two racers never
+    * touch each other's stage); only the catalog swap + epoch bump are
+    * inside. A loser gets [[TableCommit.ConcurrentWriteException]] with
+    * its stage cleaned up — it must re-read the refreshed snapshot and
+    * retry, because its merge was based on a superseded state. Returns
+    * the new epoch. */
+  def mergeCommit(spark: SparkSession, table: String, delta: DataFrame,
+      key: String, nBuckets: Int = 32): Long = {
+    val base = TableCommit.epochOf(spark, table)
+    val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
+    val merged = merge(spark, table, delta, key)
+    writeSnapshot(merged, stage, key, nBuckets)
+    try {
+      TableCommit.commit(spark, table, base) {
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+        base + 1
+      }
+    } catch { case t: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      throw t
+    }
+  }
+
   /** Merge a CDC `delta` (schema: key, version, op 'U'|'D', payload… —
     * the snapshot's columns plus `op`) into snapshot `table`; returns the
     * merged standing corpus (key, version, payload…). */

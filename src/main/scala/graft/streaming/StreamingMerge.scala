@@ -49,6 +49,13 @@ object StreamingMerge {
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(stage))
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    // bootstrap: no snapshot and no stage — the stream starts against a
+    // table that was never seeded. Seed an empty snapshot (events schema
+    // minus the op column) so the normal merge path, and its crash
+    // recovery above, apply uniformly from the first micro-batch
+    if (!spark.catalog.tableExists(table))
+      SnapshotMerge.writeSnapshot(
+        events.drop("op").limit(0), table, key, nBuckets)
     if (!events.isEmpty) {
       val merged = SnapshotMerge.merge(spark, table, events, key)
       SnapshotMerge.writeSnapshot(merged, stage, key, nBuckets)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.{dot, toDouble}
+
+class HnswGraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def embeddings: DataFrame =
+    graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  test("graph shape: layered, m-bounded out-degree, nested levels") {
+    val out = graft.queries.LlmQueries.s11AnnHnsw(spark, dir)
+    assert(out.count() > 0) // builds + persists the graph as a side effect
+    val adj = spark.table("s11_hnsw_graph")
+    val deg = adj.groupBy(col("layer"), col("src"))
+      .agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(deg <= 6, "out-degree exceeds m")
+    // a node on layer l must satisfy the deterministic level rule
+    val bad1 = adj.where(col("layer") === 1 && col("src") % 8 =!= 0).count()
+    val bad2 = adj.where(col("layer") === 2 && col("src") % 64 =!= 0).count()
+    assert(bad1 === 0 && bad2 === 0)
+    // upper layers geometrically smaller than layer 0
+    val sizes = adj.groupBy(col("layer"))
+      .agg(countDistinct(col("src")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes(2) < sizes(1) && sizes(1) < sizes(0))
+  }
+
+  test("beam search recall vs the s01 brute-force answer stays above " +
+      "the pinned floor") {
+    val e = embeddings
+    val ann = graft.queries.LlmQueries.s11AnnHnsw(spark, dir)
+      .select(col("q"), col("nb"))
+    // brute top-5 for the same probe set (every 7th vector)
+    val qs = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = qs.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    val brute = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5).select(col("q"), col("nb"))
+    val nQ = qs.count()
+    val hits = ann.intersect(brute).count()
+    val recall = hits.toDouble / (5.0 * nQ)
+    // a fixed-schedule beam over an m=6 graph is not exact by design —
+    // the floor pins the structure keeps working (observed ~substantially
+    // higher; s01 is the accuracy baseline, like s03/s04)
+    assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
+  }
+
+  test("search results are deterministic across runs") {
+    val a = graft.queries.LlmQueries.s11AnnHnsw(spark, dir).collect()
+    val b = graft.queries.LlmQueries.s11AnnHnsw(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -14,7 +14,21 @@ import graft.SparkSpec
   * `Tables.load`, i.e. on what queries actually see. */
 class TestdataContractSpec extends SparkSpec {
 
+  /** EVERY table and column the 105-query surface reads (FIXTURES.md §B
+    * is the full schema; nothing asserted here is unused by a query). */
   private def contract: Map[String, Map[String, DataType]] = Map(
+    "region" -> Map(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Map(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "supplier" -> Map(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Map(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
     "documents" -> Map(
       "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
       "source" -> StringType, "n_chars" -> LongType),
@@ -25,19 +39,25 @@ class TestdataContractSpec extends SparkSpec {
     // ts asserted as the session-zone timestamp Tables.load guarantees,
     // whatever parquet encoding the driver ships this round
     "events" -> Map(
-      "ts" -> TimestampType, "user_id" -> LongType,
-      "event_type" -> StringType, "value" -> DoubleType),
+      "event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
     "lineitem" -> Map(
       "l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_quantity" -> DoubleType,
-      "l_extendedprice" -> DoubleType, "l_returnflag" -> StringType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampNTZType),
     "orders" -> Map(
       "o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType),
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType,
+      "o_orderpriority" -> StringType),
     "customer" -> Map(
-      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
-      "c_acctbal" -> DoubleType))
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType))
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"tables at $sf carry the columns and types the queries read") {

@@ -75,6 +75,24 @@ class StreamingMergeSpec extends SparkSpec {
     }
   }
 
+  test("a stream against a never-seeded table bootstraps an empty " +
+      "snapshot (first micro-batch = plain insert)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS smerge_boot")
+    spark.sql("DROP TABLE IF EXISTS smerge_boot_stage")
+    try {
+      StreamingMerge.applyBatch(spark, "smerge_boot", events.toDF(), "k",
+        nBuckets = 2)
+      // no base rows: only the events' surviving upserts (k=3 deleted,
+      // k=5's delete of an absent key a no-op)
+      assert(snapshot("smerge_boot") ===
+        Set((2L, 2L, "b2"), (4L, 2L, "d2")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS smerge_boot")
+      spark.sql("DROP TABLE IF EXISTS smerge_boot_stage")
+    }
+  }
+
   test("an empty micro-batch leaves the snapshot untouched") {
     writeBase("smerge_empty")
     try {

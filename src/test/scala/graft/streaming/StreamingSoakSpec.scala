@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.dot
+import graft.operators.IvfIndex
+
+/** The r8 streaming SOAK: the four streaming services a curation
+  * deployment runs side by side — exact-dedup curation
+  * (dropDuplicatesWithinWatermark), near-dup detection
+  * (flatMapGroupsWithState), per-source quota (EventTimeTimeout state),
+  * and ANN serving (stateless probe joins) — driven through 100+
+  * micro-batches of advancing event time in ONE session, with the state
+  * stores sampled per round. The claim under test is the one plan pins
+  * cannot make: watermark/timeout eviction ACTUALLY bounds every state
+  * store (sizes plateau instead of growing with stream length), and
+  * per-round wall time stays flat — i.e. the stack can run for hours,
+  * not just pass unit tests.
+  */
+class StreamingSoakSpec extends SparkSpec {
+
+  private val t0 = 1700000000000L
+  private def ts(ms: Long) = new Timestamp(t0 + ms)
+
+  private def stateRows(q: StreamingQuery): Long = {
+    val p = q.lastProgress
+    if (p == null) 0L
+    else p.stateOperators.toSeq.map(_.numRowsTotal).sum
+  }
+
+  /** Plateau: the late-phase peak must not meaningfully exceed the
+    * mid-phase peak (steady growth would compound round over round). */
+  private def assertPlateau(name: String, samples: Seq[Long]): Unit = {
+    val n = samples.size
+    val mid = samples.slice(n / 2, 3 * n / 4).max
+    val late = samples.slice(3 * n / 4, n).max
+    assert(mid > 0, s"$name: state never materialized")
+    assert(late <= mid * 1.25 + 8,
+      s"$name: state still growing late in the soak " +
+        s"(mid peak $mid, late peak $late): ${samples.takeRight(12)}")
+  }
+
+  test("100+ micro-batch soak: curate + near-dup + quota + ANN serving " +
+      "concurrently; every state store plateaus; throughput stays flat") {
+    import spark.implicits._
+
+    // --- ANN index + centroids (the StreamingAnnSpec corpus) ---
+    val corpus = (1 to 120).map { i =>
+      QueryVec(i.toLong, Array(1.0 + i % 7, 2.0 + i % 5, 1.0 + i % 3,
+        (i % 11).toDouble))
+    }
+    val eDf = corpus.toDF().select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = eDf.where(col("vec_id") <= 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = eDf.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    IvfIndex.write(assigned, "soak_ann_index")
+
+    // --- the four streams ---
+    val memCur = MemoryStream[TimedDoc](spark, 101)
+    val memDup = MemoryStream[TimedDoc](spark, 102)
+    val memQuo = MemoryStream[QDoc](spark, 103)
+    val memAnn = MemoryStream[QueryVec](spark, 104)
+
+    // fresh unique text per (round, slot) for curation; watermark 2 min
+    // on a 30 s/round clock → ~4 rounds of fingerprints live at once
+    val qCur = StreamingCuration.curate(memCur.toDF(),
+        watermark = "2 minutes", minQuality = 0.0)
+      .writeStream.format("memory").queryName("soak_cur")
+      .outputMode("append").start()
+    // recycling corpus for near-dup: state stops growing once the base
+    // docs are all seen (dup arrivals add no state by design)
+    val qDup = StreamingCuration.curateNearDup(memDup.toDF(),
+        minQuality = 0.0)
+      .writeStream.format("memory").queryName("soak_dup")
+      .outputMode("append").start()
+    // 1-minute windows, 2-minute watermark → EventTimeTimeout evicts
+    // each (source, window) counter ~3 windows after it opens
+    val qQuo = StreamingQuota.admit(memQuo.toDF(), cap = 3,
+        windowMs = 60000L, watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("soak_quo")
+      .outputMode("append").start()
+    val annSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val qAnn = StreamingAnn.serve(memAnn.toDF(), cents, "soak_ann_index") {
+      res => annSeen.addAndGet(res.count())
+    }
+
+    val rounds = 104
+    val curRows = ArrayBuffer[Long]()
+    val dupRows = ArrayBuffer[Long]()
+    val quoRows = ArrayBuffer[Long]()
+    val roundMs = ArrayBuffer[Long]()
+    try {
+      for (r <- 0 until rounds) {
+        val w0 = System.nanoTime()
+        val base = r * 30000L // event clock: 30 s per round
+        memCur.addData((0 until 4).map(s => TimedDoc(r * 10L + s,
+          ts(base + s * 1000), s"fresh document r$r s$s with a few " +
+            s"plain words token${r % 97} token${(r + s) % 89}")))
+        memDup.addData((0 until 4).map { s =>
+          val k = (r * 4 + s) % 24 // 24 base docs recycled forever —
+          // SAME doc_id each revisit, so the band state's seen-set
+          // absorbs the re-send without growth (the re-crawl shape)
+          TimedDoc(k.toLong, ts(base + s * 1000),
+            s"the base document number $k holds a stable ledger of " +
+              s"plain words for bucket state with token$k marker$k")
+        })
+        memQuo.addData((0 until 6).map(s => QDoc(s"src${s % 2}",
+          r * 10L + s, ts(base + s * 500))))
+        memAnn.addData(Seq(corpus((r * 7) % 120), corpus((r * 13) % 120)))
+        qCur.processAllAvailable()
+        qDup.processAllAvailable()
+        qQuo.processAllAvailable()
+        qAnn.processAllAvailable()
+        curRows += stateRows(qCur)
+        dupRows += stateRows(qDup)
+        quoRows += stateRows(qQuo)
+        roundMs += (System.nanoTime() - w0) / 1000000L
+      }
+
+      // every query really ran ≥100 micro-batches
+      assert(qCur.lastProgress.batchId >= 100)
+      assert(qDup.lastProgress.batchId >= 100)
+      assert(qQuo.lastProgress.batchId >= 100)
+      assert(annSeen.get() > 0)
+      assert(spark.table("soak_cur").count() > 0)
+      assert(spark.table("soak_quo").count() > 0)
+
+      assertPlateau("curate", curRows.toSeq)
+      assertPlateau("nearDup", dupRows.toSeq)
+      assertPlateau("quota", quoRows.toSeq)
+
+      // throughput flat: the late-quarter median round must stay within
+      // 3× the early-quarter median (generous for shared-host noise —
+      // state GROWTH would show up as a steady slope, not noise)
+      val sorted = (s: Seq[Long]) => s.sorted.apply(s.size / 2)
+      val early = sorted(roundMs.slice(rounds / 8, rounds / 4).toSeq)
+      val late = sorted(roundMs.takeRight(rounds / 4).toSeq)
+      assert(late <= early * 3 + 50,
+        s"round time grew: early median ${early}ms late median ${late}ms")
+    } finally {
+      qCur.stop(); qDup.stop(); qQuo.stop(); qAnn.stop()
+      spark.sql("DROP TABLE IF EXISTS soak_ann_index")
+    }
+  }
+}
