@@ -170,6 +170,24 @@ object Cli {
         merges.foreach(r => println(s"${r.getInt(0)}: ${r.getString(1)} + " +
           s"${r.getString(2)} -> ${r.getString(3)} (${r.getLong(4)} occ)"))
         println(s"wrote ${lines.length} merges -> $out")
+      case Some("tokenize") =>
+        // closes the train-bpe → tokenize loop: count exact BPE tokens
+        // for a documents parquet dir under a merges.txt vocabulary
+        // (e.g. one train-bpe just wrote, or any published table) via
+        // the vocab-size-independent BpeCount expression; writes
+        // (doc_id, n_bpe) parquet and prints corpus totals
+        val sfDir = sfDirOf(opts("in"))
+        val codec = new graft.functions.BpeCodec(
+          graft.functions.BpeVocab.load(opts("merges")))
+        val counts = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            graft.plans.BpeCount(col("text"), codec).as("n_bpe"))
+        opts.get("out").foreach(o =>
+          counts.write.mode("overwrite").parquet(o))
+        val agg = counts.agg(count(lit(1)), sum(col("n_bpe"))).head()
+        println(s"tokenized ${agg.getLong(0)} docs: " +
+          s"${agg.getLong(1)} tokens under ${codec.merges.length} merges" +
+          opts.get("out").map(o => s" -> $o").getOrElse(""))
       case Some("profile") =>
         // the t16 one-pass data-quality report over a documents parquet
         // dir: per column, rows / nulls / KMV distinct estimate
@@ -189,6 +207,7 @@ object Cli {
              |  curate    --in SF_DIR --out PARQUET_DIR [--shards N]
              |  profile   --in SF_DIR
              |  train-bpe --in SF_DIR [--out MERGES_TXT]
+             |  tokenize  --in SF_DIR --merges MERGES_TXT [--out PARQUET]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }

@@ -94,4 +94,25 @@ class BpeCodecSpec extends SparkSpec {
     BpeVocab.save(merges, p)
     assert(BpeVocab.load(p) === merges)
   }
+
+  test("a t18-TRAINED vocabulary feeds straight back into tokenizing " +
+      "(train → merges.txt → encode loop)") {
+    val trained = graft.queries.LlmQueries
+      .all("t18_bpe_train")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(trained.nonEmpty)
+    val p = java.nio.file.Files.createTempFile("trained", ".txt").toString
+    BpeVocab.save(trained, p)
+    val codec = new BpeCodec(BpeVocab.load(p))
+    // the trained merges compress real corpus words (fewer tokens than
+    // chars) and agree with the independent chain encoder
+    graft.ScaleData.Vocab.foreach { w =>
+      val n = codec.countWord(w)
+      assert(n === chainCount(w, trained), s"divergence on '$w'")
+      assert(n >= 1 && n <= w.length)
+    }
+    assert(graft.ScaleData.Vocab.map(codec.countWord).sum <
+      graft.ScaleData.Vocab.map(_.length.toLong).sum)
+  }
 }

@@ -130,6 +130,74 @@ class PlanQualitySpec extends SparkSpec
     }
   }
 
+  test("D14: every window partitions by doc_id (islands are per-doc — " +
+      "no global window); span membership is an equi-join") {
+    val df = LlmQueries.all("d14_max_dup_segments")(spark, sf0001)
+    df.collect()
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window in d14:\n$w"))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("S11: beam-search hops are equi-joins against the persisted graph " +
+      "— never a cartesian or nested loop") {
+    // run the query once so the bucketed graph table exists
+    LlmQueries.all("s11_ann_hnsw")(spark, sf0001).collect()
+    import graft.functions.TextFunctions.{dot, toDouble}
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val qs = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val search = graft.operators.HnswGraph.search(
+      spark.table("s11_hnsw_graph"), e, qs)
+    val plan = planOf(search)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONLY nested-loop allowed is the ENTRY join: every query pairs
+    // with the single constant entry node, and `node = lit(0)` constant-
+    // folds the equi key away, leaving a bare 1-row-build BNLJ (the
+    // filter vec_id=0 is pushed into the build side). Such a node prints
+    // with NO join condition; a hop join degenerating to a nested loop
+    // would carry one — so every BNLJ line must be the bare form
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach { l =>
+        assert(l.replaceAll("^[:\\s+-]*", "")
+          .matches("BroadcastNestedLoopJoin BuildRight, Inner\\s*"),
+          s"conditioned nested-loop join (a degenerated hop?):\n$l\n$plan")
+      }
+    // construction: layer-0 candidates come from the coarse-cell
+    // equi-join, never an all-pairs product (upper layers are the
+    // documented geometrically-small exact joins)
+    val cells = e.select(col("vec_id"), (col("vec_id") % 4).as("cid"))
+    val build = graft.operators.HnswGraph.build(e, cells)
+    assert(!planOf(build).contains("CartesianProduct"), planOf(build))
+  }
+
+  test("T19: the vocab-scale tokenizer fuses into the scan like t11 — " +
+      "whole-stage codegen, no shuffle before the sort") {
+    val df = LlmQueries.all("t19_bpe_vocab_scale")(spark, sf0001)
+    df.collect() // AQE: codegen spans only print on the FINAL plan
+    val plan = planOf(df)
+    // codegen'd stages print with the "*(n)" star prefix in toString;
+    // the encoder must not force the Project out of whole-stage codegen
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project") && l.contains("bpecount")),
+      s"t19's tokenizing Project left whole-stage codegen:\n$plan")
+    val shuffles = plan.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("rangepartitioning"))
+      .filterNot(_.contains("SinglePartition"))
+      .filterNot(_.contains("BroadcastExchange")).toSeq
+    assert(shuffles.isEmpty, s"t19 shuffles:\n${shuffles.mkString("\n")}")
+  }
+
   test("T17/T11: extraction and exact tokenization plan no shuffle " +
       "before the sort") {
     // both are per-row string/regex pipelines that must fuse into the
