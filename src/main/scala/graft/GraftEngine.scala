@@ -156,19 +156,31 @@ object Cli {
             println(s"curated ${spark.read.parquet(out).count()} docs -> $out")
         }
       case Some("train-bpe") =>
-        // t18's BPE vocabulary training over a documents parquet dir:
-        // writes the learned merge table in the published merges.txt
-        // format (one "left right" pair per line, rank = line order),
-        // directly loadable as a TextFunctions.bpeTokenCount merges table
+        // BPE vocabulary training over a documents parquet dir, written
+        // in the published merges.txt format (one "left right" pair per
+        // line, rank = line order), directly loadable back via the
+        // tokenize command. Default: t18's exact 8-round sequential
+        // trainer. With --n-merges (and optionally --batch), the
+        // BpeTrainer batched path — the vocab-scale form that learns
+        // `batch` non-interacting merges per Spark round.
         val sfDir = sfDirOf(opts("in"))
-        val merges = graft.queries.LlmQueries.all("t18_bpe_train")(
-          spark, sfDir).collect()
-        val lines = merges.map(r => s"${r.getString(1)} ${r.getString(2)}")
         val out = opts.getOrElse("out", "merges.txt")
+        val lines: Seq[String] = opts.get("n-merges") match {
+          case Some(n) =>
+            val merges = graft.operators.BpeTrainer.train(
+              Tables.load(spark, sfDir, "documents"), n.toInt,
+              opts.getOrElse("batch", "256").toInt)
+            merges.map(m => s"${m.lhs} ${m.rhs}")
+          case None =>
+            val merges = graft.queries.LlmQueries.all("t18_bpe_train")(
+              spark, sfDir).collect()
+            merges.foreach(r => println(s"${r.getInt(0)}: " +
+              s"${r.getString(1)} + ${r.getString(2)} -> " +
+              s"${r.getString(3)} (${r.getLong(4)} occ)"))
+            merges.toSeq.map(r => s"${r.getString(1)} ${r.getString(2)}")
+        }
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-        merges.foreach(r => println(s"${r.getInt(0)}: ${r.getString(1)} + " +
-          s"${r.getString(2)} -> ${r.getString(3)} (${r.getLong(4)} occ)"))
         println(s"wrote ${lines.length} merges -> $out")
       case Some("tokenize") =>
         // closes the train-bpe → tokenize loop: count exact BPE tokens
@@ -207,6 +219,7 @@ object Cli {
              |  curate    --in SF_DIR --out PARQUET_DIR [--shards N]
              |  profile   --in SF_DIR
              |  train-bpe --in SF_DIR [--out MERGES_TXT]
+             |            [--n-merges N --batch B]   (batched scale path)
              |  tokenize  --in SF_DIR --merges MERGES_TXT [--out PARQUET]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
