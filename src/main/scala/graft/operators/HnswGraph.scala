@@ -84,6 +84,75 @@ object HnswGraph {
       .unionByName(topM(upper(2), 2))
   }
 
+  /** Incremental maintenance — insert `delta` vectors into the standing
+    * graph `table` without a rebuild (the s11 sibling of
+    * [[IvfIndex.append]] / [[IncrementalDedup]]): each new node gets its
+    * `m` best same-layer neighbors among the STANDING corpus members
+    * sharing one of its 2 coarse cells (the build-time candidate rule),
+    * and for every chosen edge the REVERSE edge (standing → new) is
+    * appended too — without it a new node is unreachable from the
+    * entry-point descent. Append-only consequences, both standard for
+    * incremental HNSW and documented here: standing nodes' out-degree
+    * grows past `m` by the reverse edges until the next rebuild
+    * re-prunes, and new nodes do not link to EACH OTHER within a batch
+    * (delta batches are small by nature; a rebuild restores the exact
+    * batch construction). The append serializes through
+    * [[TableCommit]] — concurrent appenders get the protocol exception.
+    * `cells` must cover corpus ∪ delta (vec_id, cid — 2 rows each). */
+  def append(table: String, corpus: DataFrame, delta: DataFrame,
+      cells: DataFrame, m: Int = 6, nBuckets: Int = 8): Long = {
+    val spark = corpus.sparkSession
+    val byS = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    def topM(pairs: DataFrame, layer: Int): DataFrame =
+      pairs
+        .select(col("src"), col("dst"),
+          round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
+            .as("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(byS))
+        .where(col("rk") <= m)
+        .select(lit(layer).as("layer"), col("src"), col("dst"))
+    // layer 0: delta probes the standing members of its coarse cells
+    val dMemb = delta.join(cells, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val cMemb = corpus.join(cells, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val p0 = dMemb.as("a").join(cMemb.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
+        col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
+        col("b.v").as("dv"), col("b.nrm").as("dn"))
+    def upper(layer: Int): DataFrame = {
+      val dm = delta.where(levelOf(col("vec_id")) >= layer)
+      val cm = corpus.where(levelOf(col("vec_id")) >= layer)
+      dm.as("a").join(cm.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
+          col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
+          col("b.v").as("dv"), col("b.nrm").as("dn"))
+    }
+    val fwd = topM(p0, 0)
+      .unionByName(topM(upper(1), 1))
+      .unionByName(topM(upper(2), 2))
+    val edges = fwd.unionByName(fwd.select(col("layer"),
+        col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val base = TableCommit.epochOf(spark, table)
+    TableCommit.commit(spark, table, base) {
+      // match the standing table's bucket spec (appending unbucketed
+      // rows to a bucketed table is rejected); appends add a file per
+      // touched bucket — the scan's per-file sort order then degrades
+      // until the next full rebuild re-compacts, exactly like
+      // IvfIndex.append's small-files story
+      edges.repartition(nBuckets, col("src"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(nBuckets, "src").sortBy("src")
+        .format("parquet").saveAsTable(table)
+      base + 1
+    }
+  }
+
   /** Beam-descend `qs` = (q, qv, qn) through the graph. Returns
     * (q, rk, nb, sim) — top-`k` neighbors per query, self excluded. */
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,

@@ -66,4 +66,59 @@ class HnswGraphSpec extends SparkSpec {
     val b = graft.queries.LlmQueries.s11AnnHnsw(spark, dir).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("append: delta vectors join the standing graph and become " +
+      "findable; standing edges are untouched") {
+    import spark.implicits._
+    graft.queries.LlmQueries.s11AnnHnsw(spark, dir).collect() // build
+    val e = embeddings
+    val before = spark.table("s11_hnsw_graph").collect().toSet
+    // delta: near-copies of three standing vectors, at fresh ids that
+    // stay on layer 0 (not ≡ 0 mod 8)
+    val srcIds = Seq(5L, 17L, 41L)
+    val deltaRows = e.where(col("vec_id").isin(srcIds: _*))
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (id, v) =>
+        (100001L + id, v.updated(0, v.head + 1e-4))
+      }.toSeq
+    val delta = deltaRows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+    // the s11 cell rule over corpus ∪ delta
+    val union = e.unionByName(delta)
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val cells = union.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(graft.functions.TextFunctions.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn")), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") <= 2).select(col("vec_id"), col("cid"))
+    val epoch = HnswGraph.append("s11_hnsw_graph", e, delta, cells)
+    assert(epoch >= 1)
+    val after = spark.table("s11_hnsw_graph").collect().toSet
+    assert(before.subsetOf(after), "append must not rewrite standing edges")
+    // every delta node has forward edges and at least one reverse edge
+    // (reachability precondition)
+    val adj = spark.table("s11_hnsw_graph")
+    deltaRows.foreach { case (id, _) =>
+      assert(adj.where(col("src") === id).count() > 0, s"no fwd for $id")
+      assert(adj.where(col("dst") === id).count() > 0, s"no rev for $id")
+    }
+    // querying AT each original vector now surfaces its near-copy
+    val qs = e.where(col("vec_id").isin(srcIds: _*))
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val res = HnswGraph.search(adj, union, qs).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(_.getLong(2)).toSet }
+    srcIds.foreach { id =>
+      assert(res(id).contains(100001L + id),
+        s"near-copy of $id not found: ${res(id)}")
+    }
+  }
 }
