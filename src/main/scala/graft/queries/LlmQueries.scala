@@ -1599,6 +1599,91 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D15: paragraph-granularity dedup (the Dolma/CCNet unit-dedup shape).
+    * This corpus has no newline paragraphs, so the unit is the
+    * deterministic 16-token non-overlapping segment; each segment is
+    * fingerprinted and only its GLOBAL first occurrence — min
+    * (doc_id, seg_idx) — survives. Unlike d12/d14 (overlapping windows →
+    * duplicated-span extents), this is the remove-and-reassemble
+    * operation: the output is the per-document removal budget a corpus
+    * rewriter applies — how many of its segments drop because an earlier
+    * document already contributed them, and how many tokens that frees.
+    *
+    * Scale shape: explode to n_tokens/16 rows, ONE groupBy on the
+    * segment fingerprint (mergeable min-struct partial agg — first
+    * occurrence is never computed by a window over the global segment
+    * table), join back on fp, then a doc-keyed aggregate. Every shuffle
+    * is keyed by fp or doc_id; nothing is quadratic in documents. */
+  def d15ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val L = 16
+    val segs = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(w) + ${L - 1}) div $L - 1), " +
+            s"j -> concat_ws(' ', slice(w, j * $L + 1, $L)))"))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"),
+        least(lit(L), col("n_tok") - col("seg_idx") * L).cast("long")
+          .as("seg_ntok"),
+        fingerprint(col("seg")).as("fp"))
+    val first = segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
+    segs.join(first, "fp")
+      .select(col("doc_id"), col("seg_ntok"),
+        (col("keep.doc_id") =!= col("doc_id") ||
+          col("keep.seg_idx") =!= col("seg_idx")).cast("long").as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(col("dup")).as("n_dup_segs"),
+        sum(col("dup") * col("seg_ntok")).as("tokens_removed"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        col("tokens_removed"),
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D16: canonical-document selection per near-dup cluster — the KEEP
+    * policy curation applies AFTER d08's clustering: within each
+    * connected component of verified near-dup pairs, keep the
+    * best-quality member and budget everything else for removal. Quality
+    * ranks by an integer lexical-diversity score
+    * (distinct_tokens · 10⁶ div tokens — integer so the argmax is
+    * engine-order-independent), ties to the lowest doc_id. Output is
+    * per-cluster: the keeper, its score, member count, and the
+    * characters removal frees — the dedup savings report.
+    *
+    * Scale shape: labels come from [[graft.operators.DupClusters]]
+    * (O(diameter) min-label rounds, large-star fallback); scoring joins
+    * on doc_id and the cluster rollup is a mergeable min-struct/sum
+    * groupBy on the label — the per-cluster argmax never sorts members,
+    * and nothing windows over the corpus. */
+  def d16ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.DupClusters.clusters(
+        corpusLshPairs(s, dir).select(col("a"), col("b")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(array_distinct(w)) * cast(1000000 as bigint)" +
+          " div size(w)").as("score"))
+    labels.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("doc_id"))).as("k"),
+        count(lit(1)).cast("long").as("n_members"),
+        sum(col("n_chars")).as("tot_chars"))
+      .join(scored.select(col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars")),
+        col("k.doc_id") === col("keep_id"))
+      .select(col("cluster_id"), col("keep_id"),
+        (-col("k.neg")).as("keep_score"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_removed"),
+        (col("tot_chars") - col("keep_chars")).as("chars_removed"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
     * Hamming distance ≤ 5.
@@ -2531,6 +2616,8 @@ object LlmQueries {
     "d11_incremental_dedup" -> (d11IncrementalDedup _),
     "d12_substring_spans" -> (d12SubstringSpans _),
     "d14_max_dup_segments" -> (d14MaxDupSegments _),
+    "d15_paragraph_dedup" -> (d15ParagraphDedup _),
+    "d16_cluster_keep_best" -> (d16ClusterKeepBest _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
@@ -3899,6 +3986,59 @@ object LlmQueries {
          |  round(dup_chars * 1.0 /
          |    length(array_to_string(w, ' ')), 4) AS dup_frac
          |FROM agg g JOIN words USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d15_paragraph_dedup" ->
+      s"""WITH $W,
+         |segs AS (SELECT doc_id, len(w) n_tok,
+         |    UNNEST(range(0, (len(w) + 15) // 16)) j, w FROM words),
+         |seg2 AS (SELECT doc_id, j,
+         |    least(16, n_tok - j * 16) ntok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |        array_to_string(w[j*16+1:(j+1)*16], ' '), '')]),
+         |      (a,b)->(a*31+b)%1000000007) fp
+         |  FROM segs),
+         |rn AS (SELECT doc_id, j, ntok,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) rn
+         |  FROM seg2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) n_segs,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    n_dup_segs,
+         |  CAST(sum(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS BIGINT)
+         |    tokens_removed,
+         |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 /
+         |    count(*), 4) dup_frac
+         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d16_cluster_keep_best" ->
+      s"""WITH RECURSIVE $JAC,
+         |$LSHCAND,
+         |pairs AS (SELECT jac.a, jac.b FROM jac JOIN cand USING (a, b)
+         |          WHERE jac >= 0.8),
+         |edges AS (SELECT a src, b dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         |lab AS (SELECT id doc_id, min(lbl) cluster_id
+         |  FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id, n_chars,
+         |    CAST(len(list_distinct(string_split_regex(trim(text),
+         |      '\\s+'))) * CAST(1000000 AS BIGINT) //
+         |      len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      score
+         |  FROM documents),
+         |m AS (SELECT l.cluster_id, s.doc_id, s.score, s.n_chars
+         |  FROM lab l JOIN sc s USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, doc_id) rnk FROM m),
+         |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) n_members,
+         |    sum(n_chars) tot_chars FROM m GROUP BY cluster_id)
+         |SELECT a.cluster_id, r.doc_id keep_id, r.score keep_score,
+         |  a.n_members, a.n_members - 1 n_removed,
+         |  CAST(a.tot_chars - r.n_chars AS BIGINT) chars_removed
+         |FROM agg a JOIN rk r
+         |  ON r.cluster_id = a.cluster_id AND r.rnk = 1
+         |ORDER BY a.cluster_id""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim
