@@ -41,15 +41,22 @@ object SnapshotMerge {
     * bucketed snapshot table, replacing any previous revision. */
   def writeSnapshot(rows: DataFrame, table: String, key: String,
       nBuckets: Int = 32): Unit = {
-    val spark = rows.sparkSession
-    // in-memory catalogs forget tables between sessions but the warehouse
-    // directory survives — clear both (same recovery as IncrementalDedup)
+    dropTableAndLocation(rows.sparkSession, table)
+    BucketedLayout.writeBucketed(rows, table, key, nBuckets)
+  }
+
+  /** Drop `table` from the catalog AND delete its warehouse location:
+    * in-memory catalogs forget tables between sessions but the warehouse
+    * directory survives, so a bare DROP TABLE IF EXISTS leaves an orphan
+    * location that fails the next managed-table CREATE/RENAME to that
+    * name (same recovery as IncrementalDedup). */
+  private[operators] def dropTableAndLocation(spark: SparkSession,
+      table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    BucketedLayout.writeBucketed(rows, table, key, nBuckets)
   }
 
   /** [[merge]] + stage write + swap under the [[TableCommit]] protocol —
@@ -76,6 +83,78 @@ object SnapshotMerge {
       spark.sql(s"DROP TABLE IF EXISTS `$stage`")
       throw t
     }
+  }
+
+  /** Catalog name the snapshot live at commit-epoch `epoch` is retained
+    * under after a [[mergeCommitRetain]] supersedes it. */
+  def versionTable(table: String, epoch: Long): String =
+    s"${table}__v$epoch"
+
+  /** [[mergeCommit]] with TIME TRAVEL: instead of dropping the
+    * superseded snapshot, retain it under [[versionTable]] so
+    * [[readAt]] can reproduce the corpus as of any retained epoch —
+    * the Delta/Iceberg `VERSION AS OF` affordance, without which a
+    * training run cannot pin the exact corpus state it read after later
+    * refreshes land. Same single-winner [[TableCommit]] protocol; the
+    * retention is one extra O(1) catalog rename inside the lock (no
+    * data moves — the bucketed files stay where they are), so the
+    * protocol still adds no scaling cost. Storage grows with retained
+    * history; [[vacuumVersions]] is the bounded-retention step. */
+  def mergeCommitRetain(spark: SparkSession, table: String,
+      delta: DataFrame, key: String, nBuckets: Int = 32): Long = {
+    val base = TableCommit.epochOf(spark, table)
+    val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
+    val merged = merge(spark, table, delta, key)
+    writeSnapshot(merged, stage, key, nBuckets)
+    try {
+      TableCommit.commit(spark, table, base) {
+        val retained = versionTable(table, base)
+        // a crashed prior attempt (or a previous JVM whose catalog is
+        // gone but whose warehouse dir survives) may have left the
+        // retained name — the epoch CAS already proved we own `base`
+        dropTableAndLocation(spark, retained)
+        spark.sql(s"ALTER TABLE `$table` RENAME TO `$retained`")
+        spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+        base + 1
+      }
+    } catch { case t: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      throw t
+    }
+  }
+
+  /** The snapshot as of commit `epoch`: the live table when `epoch` is
+    * current, else the [[mergeCommitRetain]]-retained version. Fails
+    * with a clear message when the version was vacuumed (or never
+    * existed) rather than resolving to something else silently. */
+  def readAt(spark: SparkSession, table: String, epoch: Long): DataFrame = {
+    val current = TableCommit.epochOf(spark, table)
+    if (epoch == current) spark.table(table)
+    else if (spark.catalog.tableExists(versionTable(table, epoch)))
+      spark.table(versionTable(table, epoch))
+    else throw new IllegalArgumentException(
+      s"no retained snapshot of '$table' at epoch $epoch (current " +
+        s"$current) — vacuumed, or written without mergeCommitRetain")
+  }
+
+  /** Drop retained versions older than the newest `keepLast` (0 drops
+    * all history; the live table is never touched). Returns the epochs
+    * vacuumed. Readers of a vacuumed epoch fail loudly in [[readAt]]. */
+  def vacuumVersions(spark: SparkSession, table: String,
+      keepLast: Int): Seq[Long] = {
+    val current = TableCommit.epochOf(spark, table)
+    // the catalog lowercases table names — match it
+    val prefix = s"${table.toLowerCase}__v"
+    val retained = spark.catalog.listTables()
+      .collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .sorted
+    val cut = current - keepLast
+    val drop = retained.filter(_ < cut)
+    drop.foreach(e =>
+      dropTableAndLocation(spark, versionTable(table, e)))
+    drop.toSeq
   }
 
   /** Merge a CDC `delta` (schema: key, version, op 'U'|'D', payload… —

@@ -122,4 +122,14 @@ object TableCommit {
       if (age >= minAgeMs) f.delete(lock, false) else false
     }
   }
+
+  /** Drop the table's commit state (epoch file + any lock) — the
+    * maintenance/test helper a DROP TABLE of a protocol-managed table
+    * pairs with. Never call while a writer is live: a racing commit
+    * against a reset epoch would CAS on stale state. */
+  def reset(spark: SparkSession, table: String): Unit = {
+    val f = fs(spark)
+    f.delete(epochPath(spark, table), false)
+    f.delete(lockPath(spark, table), false)
+  }
 }

@@ -107,7 +107,8 @@ object LlmQueries {
       ("stage_lm_doc_scores", () => lmDocScores(s, dir).count()),
       ("stage_contam_fps", () => contamFps(s, dir).count()),
       ("stage_dsir_feats", () => dsirFeats(s, dir).count()),
-      ("stage_source_fps", () => sourceFps(s, dir).count()))
+      ("stage_source_fps", () => sourceFps(s, dir).count()),
+      ("stage_dup_labels", () => corpusDupLabels(s, dir).count()))
 
   /** (doc_id, f) shingle fingerprints of the full corpus — d02/d03/d04/
     * d08/d10. */
@@ -119,6 +120,14 @@ object LlmQueries {
   private def corpusLshPairs(s: SparkSession, dir: String): DataFrame =
     cachedStage(s, dir, "lsh_pairs")(
       minhashNearDupPairs(docs(s, dir), Some(corpusFps(s, dir))))
+
+  /** d08's connected-component labels (id, lbl) over the verified
+    * near-dup pairs — also d16's cluster assignment. The O(diameter)
+    * min-label iteration runs once per session, not once per consumer. */
+  private def corpusDupLabels(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "dup_labels")(
+      graft.operators.DupClusters.clusters(
+        corpusLshPairs(s, dir).select(col("a"), col("b"))))
 
   /** d02's exact-tier Jaccard ≥ 0.8 pairs — also d10's denominator. */
   private def corpusJaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -1346,6 +1355,51 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** L03: time travel over the commit-protocol snapshot table — l02's
+    * merge run under [[graft.operators.SnapshotMerge.mergeCommitRetain]],
+    * which retains each superseded snapshot beside its commit epoch, then
+    * the corpus read back AS OF every epoch (the Delta/Iceberg
+    * `VERSION AS OF` affordance: a training run pins the exact corpus
+    * state it read even after later refreshes land). Epoch 0 is the
+    * seeded snapshot, epoch 1 after the upsert batch, epoch 2 after the
+    * delete batch; the oracle replays each state relationally.
+    *
+    * Scale shape: retention is one O(1) catalog rename per commit inside
+    * the [[graft.operators.TableCommit]] lock — no data moves, the
+    * bucketed files stay where they are (`TimeTravelSpec` pins that a
+    * versioned read still plans Exchange-free on the snapshot side). */
+  def l03TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val T = "l03_snapshot"
+    // reset whatever a prior invocation left in this warehouse/session —
+    // retained versions, a crashed stage, the epoch file — so the query
+    // is replayable (same recovery-first posture as writeSnapshot)
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n == T || n.startsWith(s"${T}__v") ||
+        n.startsWith(s"${T}_c"))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+    graft.operators.TableCommit.reset(s, T)
+    val base = docs(s, dir).select(col("doc_id"), lit(1L).as("version"),
+      col("source"), col("n_chars"),
+      fingerprint(col("text")).as("content_fp"))
+    graft.operators.SnapshotMerge.writeSnapshot(base, T, "doc_id")
+    val d1 = docs(s, dir).where(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), lit(2L).as("version"), lit("U").as("op"),
+        col("source"), (col("n_chars") + 3L).as("n_chars"),
+        fingerprint(concat(col("text"), lit(" v2"))).as("content_fp"))
+    graft.operators.SnapshotMerge.mergeCommitRetain(s, T, d1, "doc_id")
+    val d2 = docs(s, dir).where(col("doc_id") % 13 === 5)
+      .select(col("doc_id"), lit(3L).as("version"), lit("D").as("op"),
+        col("source"), col("n_chars"),
+        fingerprint(col("text")).as("content_fp"))
+    graft.operators.SnapshotMerge.mergeCommitRetain(s, T, d2, "doc_id")
+    (0L to 2L).map(e =>
+      graft.operators.SnapshotMerge.readAt(s, T, e)
+        .select(lit(e).as("epoch"), col("doc_id"), col("version"),
+          col("source"), col("n_chars"), col("content_fp")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
   // ---- deduplication ----------------------------------------------------
 
   /** D01: exact dedup — hash-groupBy on full text, keep the min doc_id.
@@ -1417,8 +1471,7 @@ object LlmQueries {
     * (drop `is_canon = 0` with one anti-join). Oracle: recursive CTE over
     * the identical pair list. */
   def d08DupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DupClusters.clusters(
-        corpusLshPairs(s, dir).select(col("a"), col("b")))
+    corpusDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).cast("long").as("is_canon"))
       .orderBy(col("doc_id"))
@@ -1660,8 +1713,7 @@ object LlmQueries {
     * groupBy on the label — the per-cluster argmax never sorts members,
     * and nothing windows over the corpus. */
   def d16ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val labels = graft.operators.DupClusters.clusters(
-        corpusLshPairs(s, dir).select(col("a"), col("b")))
+    val labels = corpusDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     val scored = docs(s, dir)
       .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("w"))
@@ -2633,6 +2685,7 @@ object LlmQueries {
     "p06_leakage_split" -> (p06LeakageSplit _),
     "l01_zorder_layout" -> (l01ZorderLayout _),
     "l02_snapshot_merge" -> (l02SnapshotMerge _),
+    "l03_time_travel" -> (l03TimeTravel _),
     "r01_stratified_sample" -> (r01StratifiedSample _),
     "r02_topk_sample" -> (r02TopkSample _),
     "r03_temperature_sample" -> (r03TemperatureSample _),
@@ -3805,6 +3858,36 @@ object LlmQueries {
         |      FROM allr)
         |SELECT doc_id, version, source, n_chars, content_fp
         |FROM w WHERE rn = 1 AND op = 'U' ORDER BY doc_id""".stripMargin,
+    "l03_time_travel" ->
+      """WITH fp0 AS (SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT) for x in string_split(text,'')]),
+        |      (a,b)->(a*31+b)%1000000007) AS f1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ascii(x) AS BIGINT)
+        |       for x in string_split(text || ' v2','')]),
+        |      (a,b)->(a*31+b)%1000000007) AS f2
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS version, source,
+        |         n_chars, f1 AS content_fp FROM fp0),
+        |s1 AS (SELECT s.doc_id,
+        |         CASE WHEN s.doc_id % 7 = 3 THEN CAST(2 AS BIGINT)
+        |              ELSE s.version END AS version, s.source,
+        |         CASE WHEN s.doc_id % 7 = 3 THEN s.n_chars + 3
+        |              ELSE s.n_chars END AS n_chars,
+        |         CASE WHEN s.doc_id % 7 = 3 THEN f.f2
+        |              ELSE s.content_fp END AS content_fp
+        |  FROM s0 s JOIN fp0 f ON s.doc_id = f.doc_id),
+        |s2 AS (SELECT * FROM s1 WHERE doc_id % 13 <> 5)
+        |SELECT CAST(0 AS BIGINT) epoch, doc_id, version, source,
+        |       n_chars, content_fp FROM s0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, version, source, n_chars,
+        |       content_fp FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, version, source, n_chars,
+        |       content_fp FROM s2
+        |ORDER BY epoch, doc_id""".stripMargin,
     "p03_export_manifest" ->
       """WITH fp AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
