@@ -68,10 +68,10 @@ object SnapshotMerge {
     * retry, because its merge was based on a superseded state. Returns
     * the new epoch. */
   def mergeCommit(spark: SparkSession, table: String, delta: DataFrame,
-      key: String, nBuckets: Int = 32): Long = {
+      key: String, nBuckets: Int = 32, evolve: Boolean = false): Long = {
     val base = TableCommit.epochOf(spark, table)
     val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
-    val merged = merge(spark, table, delta, key)
+    val merged = merge(spark, table, delta, key, evolve = evolve)
     writeSnapshot(merged, stage, key, nBuckets)
     try {
       TableCommit.commit(spark, table, base) {
@@ -101,10 +101,11 @@ object SnapshotMerge {
     * protocol still adds no scaling cost. Storage grows with retained
     * history; [[vacuumVersions]] is the bounded-retention step. */
   def mergeCommitRetain(spark: SparkSession, table: String,
-      delta: DataFrame, key: String, nBuckets: Int = 32): Long = {
+      delta: DataFrame, key: String, nBuckets: Int = 32,
+      evolve: Boolean = false): Long = {
     val base = TableCommit.epochOf(spark, table)
     val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
-    val merged = merge(spark, table, delta, key)
+    val merged = merge(spark, table, delta, key, evolve = evolve)
     writeSnapshot(merged, stage, key, nBuckets)
     try {
       TableCommit.commit(spark, table, base) {
@@ -159,12 +160,48 @@ object SnapshotMerge {
 
   /** Merge a CDC `delta` (schema: key, version, op 'U'|'D', payload… —
     * the snapshot's columns plus `op`) into snapshot `table`; returns the
-    * merged standing corpus (key, version, payload…). */
+    * merged standing corpus (key, version, payload…).
+    *
+    * With `evolve = true` the delta may carry payload columns the
+    * snapshot lacks (and vice versa): the result schema is the UNION
+    * (snapshot's columns first, then new delta columns in delta order),
+    * and rows from the side missing a column null-fill it — Delta Lake's
+    * `mergeSchema` semantics, which a long-lived corpus needs the first
+    * time a crawler starts emitting a new field. A same-named column
+    * with a DIFFERENT type fails loudly (no silent cast — a type change
+    * is a migration, not an evolution). With `evolve = false` (default)
+    * the delta must match the snapshot's payload exactly. */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
       key: String, versionCol: String = "version",
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op", evolve: Boolean = false): DataFrame = {
     val snap = spark.table(table)
-    val payload = snap.columns.filterNot(c => c == key || c == versionCol)
+    val snapPayload = snap.columns.filterNot(c => c == key || c == versionCol)
+    val deltaPayload =
+      delta.columns.filterNot(c => c == key || c == versionCol || c == opCol)
+    val payload =
+      if (!evolve) snapPayload
+      else snapPayload ++ deltaPayload.filterNot(snapPayload.contains)
+    val snapT = snap.schema.map(f => f.name -> f.dataType).toMap
+    val deltaT = delta.schema.map(f => f.name -> f.dataType).toMap
+    if (evolve) payload.foreach { c =>
+      (snapT.get(c), deltaT.get(c)) match {
+        case (Some(a), Some(b)) if a != b =>
+          throw new IllegalArgumentException(
+            s"schema evolution cannot change a column's type: '$c' is " +
+              s"${a.simpleString} in snapshot '$table' but " +
+              s"${b.simpleString} in the delta — migrate explicitly")
+        case _ => ()
+      }
+    }
+    // per-side payload columns in the SAME unioned order, null-filling
+    // whatever that side lacks (typed from the side that has it) so the
+    // two struct layouts stay identical
+    def sideCols(has: String => Boolean, otherT: Map[String,
+        org.apache.spark.sql.types.DataType]) =
+      payload.map(c =>
+        if (has(c)) col(c) else lit(null).cast(otherT(c)).as(c))
+    val dPayloadCols = sideCols(delta.columns.contains, snapT)
+    val sPayloadCols = sideCols(snap.columns.contains, deltaT)
     // identical struct layout on both sides so the winner comparison and
     // the final unpack are uniform: (version, opRank, op, payload…).
     // opRank is the explicit delete-beats-upsert tie rank — the op CHARS
@@ -173,10 +210,10 @@ object SnapshotMerge {
     val opRank = when(col(opCol) === "D", lit(1)).otherwise(lit(0))
     val dStruct = struct(
       (col(versionCol) +: opRank.as("op_rank") +: col(opCol) +:
-        payload.map(col)): _*)
+        dPayloadCols): _*)
     val sStruct = struct(
       (col(versionCol) +: lit(0).as("op_rank") +: lit("U").as(opCol) +:
-        payload.map(col)): _*)
+        sPayloadCols): _*)
     // one winner row per delta key BEFORE the join — the only shuffle of
     // delta-sized data; struct max = (version, op, payload…) lexicographic
     val dAgg = delta.groupBy(col(key)).agg(max(dStruct).as("dw"))

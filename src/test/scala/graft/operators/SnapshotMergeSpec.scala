@@ -123,4 +123,52 @@ class SnapshotMergeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS snapmerge_plan")
     }
   }
+
+  test("schema evolution: a delta with a new payload column null-fills " +
+      "the snapshot rows; a type change fails loudly; default is strict") {
+    SnapshotMerge.writeSnapshot(
+      snapDf((1L, 1L, "one"), (2L, 1L, "two")), "snapmerge_evo", "k",
+      nBuckets = 2)
+    try {
+      // delta adds a `score` column the snapshot has never seen
+      val delta = Seq((2L, 2L, "U", "two-v2", 9L), (3L, 1L, "U", "three", 7L))
+        .toDF("k", "version", "op", "val", "score")
+      val got = SnapshotMerge.merge(spark, "snapmerge_evo", delta, "k",
+          evolve = true)
+      assert(got.columns.toSeq === Seq("k", "version", "val", "score"))
+      val byKey = got.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(byKey === Map(
+        1L -> ((1L, "one", None)),        // untouched: new column is null
+        2L -> ((2L, "two-v2", Some(9L))),
+        3L -> ((1L, "three", Some(7L)))))
+
+      // the evolved schema round-trips: persist, then a delta MISSING the
+      // evolved column (an old producer) null-fills ITS rows instead
+      SnapshotMerge.writeSnapshot(got, "snapmerge_evo2", "k", nBuckets = 2)
+      val old = Seq((4L, 1L, "U", "four")).toDF("k", "version", "op", "val")
+      val got2 = SnapshotMerge.merge(spark, "snapmerge_evo2", old, "k",
+          evolve = true)
+      val r4 = got2.where(col("k") === 4L).collect().head
+      assert(r4.getString(2) === "four" && r4.isNullAt(3))
+      assert(got2.where(col("k") === 2L).collect().head.getLong(3) === 9L)
+
+      // same-named column with a different type: loud failure
+      val bad = Seq((5L, 1L, "U", "five", "not-a-long"))
+        .toDF("k", "version", "op", "val", "score")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotMerge.merge(spark, "snapmerge_evo2", bad, "k",
+          evolve = true).collect()
+      }
+      assert(e.getMessage.contains("score"))
+
+      // strict default: an unknown delta column never silently appears
+      val strict = SnapshotMerge.merge(spark, "snapmerge_evo", delta, "k")
+      assert(strict.columns.toSeq === Seq("k", "version", "val"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snapmerge_evo")
+      spark.sql("DROP TABLE IF EXISTS snapmerge_evo2")
+    }
+  }
 }
