@@ -123,6 +123,41 @@ object TableCommit {
     }
   }
 
+  private def markerPath(spark: SparkSession, table: String,
+      suffix: String) = new org.apache.hadoop.fs.Path(commitsDir(spark),
+    s"${table.toLowerCase}.$suffix")
+
+  /** Read a small per-table marker file from the commits dir (e.g. a
+    * streaming sink's last-applied batch id). */
+  def readMarker(spark: SparkSession, table: String,
+      suffix: String): Option[String] = {
+    val f = fs(spark)
+    val p = markerPath(spark, table, suffix)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Write a per-table marker file (write-tmp + atomic rename, like the
+    * epoch file). */
+  def writeMarker(spark: SparkSession, table: String, suffix: String,
+      value: String): Unit = {
+    val f = fs(spark)
+    f.mkdirs(commitsDir(spark))
+    val tmp = new org.apache.hadoop.fs.Path(commitsDir(spark),
+      s"${table.toLowerCase}.$suffix.tmp")
+    val out = f.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val dst = markerPath(spark, table, suffix)
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"marker rename failed for $table")
+  }
+
   /** Drop the table's commit state (epoch file + any lock) — the
     * maintenance/test helper a DROP TABLE of a protocol-managed table
     * pairs with. Never call while a writer is live: a racing commit
@@ -131,5 +166,6 @@ object TableCommit {
     val f = fs(spark)
     f.delete(epochPath(spark, table), false)
     f.delete(lockPath(spark, table), false)
+    f.delete(markerPath(spark, table, "stream"), false)
   }
 }

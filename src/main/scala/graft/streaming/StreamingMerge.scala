@@ -73,4 +73,44 @@ object StreamingMerge {
       (batch: DataFrame, _: Long) =>
         applyBatch(spark, table, batch, key, nBuckets)
     }
+
+  /** [[applyBatch]] under the commit protocol WITH time travel: each
+    * non-empty micro-batch lands as one
+    * [[SnapshotMerge.mergeCommitRetain]] commit, so the table's epoch
+    * history IS the stream's batch history — any micro-batch boundary
+    * state is reproducible via [[SnapshotMerge.readAt]] (the
+    * per-refresh corpus cut a training run pins), and
+    * [[SnapshotMerge.vacuumVersions]] bounds the retention.
+    *
+    * Replay safety (streams retry failed batches): the last applied
+    * `batchId` is recorded in a commit-dir marker AFTER the commit, and
+    * a batch ≤ the marker is skipped — exactly-once table content. The
+    * one crash window (between commit and marker write) re-applies the
+    * same delta, which is data-idempotent (the merge re-derives the
+    * identical snapshot — `SnapshotMergeSpec` pins it) but retains one
+    * extra epoch with identical content: at-least-once EPOCHS,
+    * exactly-once DATA — stated rather than hidden. */
+  def applyBatchRetain(spark: SparkSession, table: String,
+      events: DataFrame, key: String, batchId: Long,
+      nBuckets: Int = 32): Unit = {
+    val applied = graft.operators.TableCommit
+      .readMarker(spark, table, "stream").map(_.toLong)
+    if (applied.exists(_ >= batchId)) return
+    if (!spark.catalog.tableExists(table))
+      SnapshotMerge.writeSnapshot(
+        events.drop("op").limit(0), table, key, nBuckets)
+    if (!events.isEmpty)
+      SnapshotMerge.mergeCommitRetain(spark, table, events, key, nBuckets)
+    graft.operators.TableCommit.writeMarker(spark, table, "stream",
+      batchId.toString)
+  }
+
+  /** Wire a CDC stream onto `table` with per-micro-batch time travel —
+    * the [[applyBatchRetain]] form of [[apply]]. */
+  def applyRetain(spark: SparkSession, table: String, events: DataFrame,
+      key: String, nBuckets: Int = 32): DataStreamWriter[Row] =
+    events.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyBatchRetain(spark, table, batch, key, batchId, nBuckets)
+    }
 }

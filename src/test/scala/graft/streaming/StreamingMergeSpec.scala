@@ -93,6 +93,58 @@ class StreamingMergeSpec extends SparkSpec {
     }
   }
 
+  test("applyRetain: every micro-batch is a retained epoch — any batch " +
+      "boundary state reads back via readAt, and a replayed batchId is " +
+      "skipped (exactly-once content)") {
+    import graft.operators.TableCommit
+    import spark.implicits._
+    val T = "smerge_tt"
+    def cleanup(): Unit = {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n == T || n.startsWith(s"${T}__v") ||
+          n.startsWith(s"${T}_c"))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+      TableCommit.reset(spark, T)
+    }
+    cleanup()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("smerge_tt_ckpt").toString
+    val mem = MemoryStream[CdcEvent](spark, 101)
+    val q = StreamingMerge.applyRetain(spark, T, mem.toDF(), "k",
+        nBuckets = 2)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(events.take(2))
+      q.processAllAvailable()
+      mem.addData(events.slice(2, 4))
+      q.processAllAvailable()
+      mem.addData(events.drop(4))
+      q.processAllAvailable()
+      // three non-empty batches → three commits; epoch history = the
+      // stream's batch history
+      assert(TableCommit.epochOf(spark, T) === 3L)
+      def at(e: Long) = SnapshotMerge.readAt(spark, T, e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(at(0L) === Set.empty)                      // bootstrap seed
+      assert(at(1L) === Set((2L, 2L, "b2")))            // k=3 delete: no-op on empty
+      assert(at(2L) === Set((2L, 2L, "b2"), (4L, 2L, "d2")))
+      assert(at(3L) === Set((2L, 2L, "b2"), (4L, 2L, "d2")))
+      assert(at(3L) === snapshot(T))
+      // a replayed batch (stream retry re-delivers batchId 2) is skipped:
+      // no new epoch, content unchanged
+      StreamingMerge.applyBatchRetain(spark, T,
+        events.slice(2, 4).toDF(), "k", batchId = 2L, nBuckets = 2)
+      assert(TableCommit.epochOf(spark, T) === 3L)
+      assert(snapshot(T) === at(3L))
+      // vacuum bounds the stream's history like any retained table
+      assert(SnapshotMerge.vacuumVersions(spark, T, keepLast = 1) ===
+        Seq(0L, 1L))
+    } finally {
+      q.stop()
+      cleanup()
+    }
+  }
+
   test("an empty micro-batch leaves the snapshot untouched") {
     writeBase("smerge_empty")
     try {
