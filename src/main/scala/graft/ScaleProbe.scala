@@ -25,12 +25,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
 
-  /** The heavy families named by the r7 verdict, in sweep order. */
-  val Heavy: Seq[String] = Seq(
-    "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh", "d08_dup_clusters",
-    "d11_incremental_dedup", "d12_substring_spans", "d13_source_overlap",
-    "s03_ann_ivf_topk", "s04_ann_ivfpq_topk", "s10_ann_indexed",
-    "l02_snapshot_merge", "p05_curriculum")
+  /** The heavy families named by the r7 verdict plus the late-r8
+    * additions (d14/d15/d16/d17/l03/s11), in sweep order. Overridable
+    * via SPARK_GRAFT_PROBE_QUERIES (comma-separated) for a targeted
+    * probe of a subset. */
+  val Heavy: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq(
+        "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+        "d08_dup_clusters", "d11_incremental_dedup", "d12_substring_spans",
+        "d13_source_overlap", "d14_max_dup_segments", "d15_paragraph_dedup",
+        "d16_cluster_keep_best", "d17_semantic_decontaminate",
+        "s03_ann_ivf_topk", "s04_ann_ivfpq_topk", "s10_ann_indexed",
+        "s11_ann_hnsw", "l02_snapshot_merge", "l03_time_travel",
+        "p05_curriculum"))
 
   private def calibrate1(): Double = {
     val t0 = System.nanoTime()

@@ -1736,6 +1736,94 @@ object LlmQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** D17: semantic decontamination — the embedding-space analog of d07:
+    * a held-out evaluation set (vec_id ≡ 0 mod 17, the d07 split
+    * pattern) flags training vectors whose cosine similarity reaches
+    * 0.3 — catching paraphrased/reworded benchmark leakage that
+    * n-gram overlap (d07) cannot see.
+    *
+    * Scale shape: s03's IVF bucketing — 8 broadcast centroids, the
+    * both sides land in their 2 nearest cells (broadcast join + a
+    * window over K rows per vector), and the contamination check joins
+    * ON the cell id — never corpus × eval.
+    * The cell approximation is the declared trade (same accounting as
+    * s03 vs s01's brute tier); the oracle replays the bucketing exactly,
+    * so approximation never reads as error. */
+  def d17SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val nProbe = 2
+    val e = emb(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val toCent = e.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val corpus = toCent.where(col("vec_id") % 17 =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        row_number().over(wAsg).as("rn"))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val evalProbes = toCent.where(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"),
+        row_number().over(wAsg).as("rn"))
+      .where(col("rn") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cid"))
+    corpus.join(evalProbes, "cid")
+      .select(col("vec_id"), col("q"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .where(col("sim") >= 0.3d)
+      .distinct() // a pair can meet in both shared cells
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_eval_hits"),
+        max(col("sim")).as("max_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** D18: semantic-decontamination recall — the d10/s05 evaluation twin
+    * for d17: of every training vector the EXACT check flags (cosine ≥
+    * 0.3 to any eval vector, computed as a broadcast of the full eval
+    * side — itself the production-feasible shape when the eval suite is
+    * small), what fraction does d17's cell-probed tier flag? One row:
+    * exact count, approx count, hits, recall — the number that says
+    * whether the cheap tier is safe to ship.
+    *
+    * Scale shape: the exact side is corpus × (broadcast eval) — one scan
+    * of the corpus, linear; the approx side is d17's cell join. Nothing
+    * quadratic in the corpus on either side. */
+  def d18DecontamRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val evalSide = e.where(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exact = e.where(col("vec_id") % 17 =!= 0)
+      .join(broadcast(evalSide))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .where(col("sim") >= 0.3d)
+      .select(col("vec_id")).distinct()
+    val approx = d17SemanticDecontaminate(s, dir)
+      .select(col("vec_id")).distinct()
+    exact
+      .join(approx.withColumn("found", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_hit"))
+      .join(approx.agg(count(lit(1)).cast("long").as("n_approx")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   /** D04: SimHash near-dedup — 32-bit signature over shingle fingerprints
     * (bit j = sign of Σ ±1 by parity of an affine re-hash), pairs at
     * Hamming distance ≤ 5.
@@ -2113,21 +2201,17 @@ object LlmQueries {
     * it bucket-for-bucket. Probe set: every 7th vector; recall floor vs
     * the s01 brute answer pinned in `HnswGraphSpec`. */
   def s11AnnHnsw(s: SparkSession, dir: String): DataFrame = {
-    val K = 8
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents = e.where(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val toCent = e.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-          .as("csim"))
-    val cells = toCent
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))))
-      .where(col("rn") <= 2)
-      .select(col("vec_id"), col("cid"))
-    val graph = graft.operators.HnswGraph.build(e, cells, m = 6)
+    // one control-plane scalar (the corpus size) sizes the bucket count
+    // and level stride — the d08/t18 documented pattern; a fixed bucket
+    // count measured quadratic in the r8 scale probe, this keeps
+    // per-bucket population ~64 at any corpus size
+    val n = e.count()
+    val cells = graft.operators.HnswGraph.signCells(
+      e, graft.operators.HnswGraph.bitsFor(n))
+    val graph = graft.operators.HnswGraph.build(e, cells, m = 6,
+      stride = graft.operators.HnswGraph.strideFor(n))
     // writeSnapshot, not writeBucketed directly: it clears a stale
     // warehouse directory left by a previous JVM whose in-memory catalog
     // is gone (the standing-table recovery path every index write needs)
@@ -2670,6 +2754,8 @@ object LlmQueries {
     "d14_max_dup_segments" -> (d14MaxDupSegments _),
     "d15_paragraph_dedup" -> (d15ParagraphDedup _),
     "d16_cluster_keep_best" -> (d16ClusterKeepBest _),
+    "d17_semantic_decontaminate" -> (d17SemanticDecontaminate _),
+    "d18_decontam_recall" -> (d18DecontamRecall _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
@@ -2930,44 +3016,86 @@ object LlmQueries {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
        |           FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${ddot("v", "v")}) nrm FROM e),
-       |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
-       |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |    round(${ddot("n.v", "c.cv")} / (n.nrm * c.cn), 6) csim
-       |  FROM n CROSS JOIN cents c),
-       |cells AS (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY csim DESC, cid) rn FROM tocent) t WHERE rn <= 2),
+       |cnt AS (SELECT count(*) nn FROM e),
+       |hh AS (SELECT min(x) h FROM range(3, 41) t(x), cnt
+       |       WHERE CAST(power(2, x) AS BIGINT) * 64 >= nn),
+       |ss AS (SELECT min(CAST(power(2, x) AS BIGINT)) stride
+       |       FROM range(3, 41) t(x), cnt
+       |       WHERE CAST(power(2, x) AS BIGINT) * 768 >= nn),
+       |dirs AS (SELECT vec_id i, v dv FROM e, hh WHERE vec_id < h),
+       |bits AS (SELECT n.vec_id, d.i,
+       |    CASE WHEN round(${ddot("n.v", "d.dv")}, 6) >= 0
+       |         THEN 1 ELSE 0 END b,
+       |    abs(round(${ddot("n.v", "d.dv")}, 6)) conf
+       |  FROM n CROSS JOIN dirs d),
+       |flip AS (SELECT vec_id, i fi FROM (
+       |    SELECT vec_id, i, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY conf, i) rn FROM bits) t WHERE rn = 1),
+       |cells AS (
+       |  SELECT vec_id, string_agg(CAST(b AS VARCHAR), '' ORDER BY i) cid
+       |  FROM bits GROUP BY vec_id
+       |  UNION
+       |  SELECT b.vec_id, string_agg(
+       |      CAST(CASE WHEN b.i = f.fi THEN 1 - b.b ELSE b.b END
+       |           AS VARCHAR), '' ORDER BY b.i) cid
+       |  FROM bits b JOIN flip f ON f.vec_id = b.vec_id
+       |  GROUP BY b.vec_id),
        |cand0 AS (SELECT DISTINCT a.vec_id src, b.vec_id dst
        |  FROM cells a JOIN cells b
        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
        |sim0 AS (SELECT src, dst,
        |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) sim
        |  FROM cand0 JOIN n x ON src = x.vec_id JOIN n y ON dst = y.vec_id),
+       |adjf0 AS (SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) rk FROM sim0) t WHERE rk <= 6),
+       |adjb0 AS (SELECT src, dst, max(sim) sim FROM (
+       |    SELECT src, dst, sim FROM adjf0
+       |    UNION ALL SELECT dst, src, sim FROM adjf0) u
+       |  GROUP BY src, dst),
        |adj0 AS (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim0) t WHERE rk <= 6),
-       |mem1 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 8 = 0),
+       |      ORDER BY sim DESC, dst) rk FROM adjb0) t WHERE rk <= 12),
+       |mem1 AS (SELECT vec_id, v, nrm FROM n, ss
+       |         WHERE vec_id % stride = 0),
        |sim1 AS (SELECT a.vec_id src, b.vec_id dst,
        |    round(${ddot("a.v", "b.v")} / (a.nrm * b.nrm), 6) sim
        |  FROM mem1 a JOIN mem1 b ON a.vec_id <> b.vec_id),
+       |adjf1 AS (SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) rk FROM sim1) t WHERE rk <= 6),
+       |adjb1 AS (SELECT src, dst, max(sim) sim FROM (
+       |    SELECT src, dst, sim FROM adjf1
+       |    UNION ALL SELECT dst, src, sim FROM adjf1) u
+       |  GROUP BY src, dst),
        |adj1 AS (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim1) t WHERE rk <= 6),
-       |mem2 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 64 = 0),
+       |      ORDER BY sim DESC, dst) rk FROM adjb1) t WHERE rk <= 12),
+       |mem2 AS (SELECT vec_id, v, nrm FROM n, ss
+       |         WHERE vec_id % (stride * 8) = 0),
        |sim2 AS (SELECT a.vec_id src, b.vec_id dst,
        |    round(${ddot("a.v", "b.v")} / (a.nrm * b.nrm), 6) sim
        |  FROM mem2 a JOIN mem2 b ON a.vec_id <> b.vec_id),
+       |adjf2 AS (SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) rk FROM sim2) t WHERE rk <= 6),
+       |adjb2 AS (SELECT src, dst, max(sim) sim FROM (
+       |    SELECT src, dst, sim FROM adjf2
+       |    UNION ALL SELECT dst, src, sim FROM adjf2) u
+       |  GROUP BY src, dst),
        |adj2 AS (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim2) t WHERE rk <= 6),
+       |      ORDER BY sim DESC, dst) rk FROM adjb2) t WHERE rk <= 12),
        |qs AS (SELECT vec_id q, v qv, nrm qn FROM n WHERE vec_id % 7 = 0),
        |f0 AS (SELECT q, qv, qn, e0.vec_id node,
        |    round(${ddot("qv", "e0.v")} / (qn * e0.nrm), 6) sim
        |  FROM qs JOIN n e0 ON e0.vec_id = 0),
        |f2 AS ${hop("f0", "adj2", 4)},
-       |f1 AS ${hop("f2", "adj1", 4)},
+       |f1a AS ${hop("f2", "adj1", 4)},
+       |f1 AS ${hop("f1a", "adj1", 4)},
        |g1 AS ${hop("f1", "adj0", 16)},
-       |g2 AS ${hop("g1", "adj0", 16)},
+       |g2a AS ${hop("g1", "adj0", 16)},
+       |g2 AS ${hop("g2a", "adj0", 16)},
        |res AS (SELECT q, node nb, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, node)
        |         AS INTEGER) rk
@@ -4122,6 +4250,79 @@ object LlmQueries {
          |FROM agg a JOIN rk r
          |  ON r.cluster_id = a.cluster_id AND r.rnk = 1
          |ORDER BY a.cluster_id""".stripMargin,
+    "d17_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id % 17 <> 0) t WHERE rn <= 2),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id % 17 = 0) t WHERE rn <= 2),
+        |scored AS (SELECT DISTINCT a.vec_id, p.q,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
+        |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
+        |  FROM probes p JOIN asg a ON a.cid = p.cid)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) n_eval_hits,
+        |       max(sim) max_sim
+        |FROM scored WHERE sim >= 0.3
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "d18_decontam_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
+        |      (p,q)->p+q)) nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
+        |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
+        |  FROM n CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT vec_id, v, nrm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id % 17 <> 0) t WHERE rn <= 2),
+        |probes AS (SELECT q, qv, qn, cid FROM (
+        |    SELECT vec_id q, v qv, nrm qn, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cid) rn
+        |    FROM tocent WHERE vec_id % 17 = 0) t WHERE rn <= 2),
+        |aflag AS (SELECT DISTINCT a.vec_id
+        |  FROM probes p JOIN asg a ON a.cid = p.cid
+        |  WHERE round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
+        |      (x,y)->x+y) / (p.qn * a.nrm), 6) >= 0.3),
+        |ex AS (SELECT DISTINCT x.vec_id
+        |  FROM n x JOIN n y ON y.vec_id % 17 = 0
+        |  WHERE x.vec_id % 17 <> 0
+        |    AND round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])),
+        |      (p,q)->p+q) / (x.nrm * y.nrm), 6) >= 0.3)
+        |SELECT CAST(count(*) AS BIGINT) n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM aflag) n_approx,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) n_hit,
+        |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |        * 1.0 / count(*), 4) recall
+        |FROM ex LEFT JOIN aflag a ON a.vec_id = ex.vec_id""".stripMargin,
     "d05_dedup_embed_cosine" ->
       s"""WITH $EMB
          |SELECT a, b, sim FROM pair_sim

@@ -23,8 +23,10 @@ class HnswGraphSpec extends SparkSpec {
     val deg = adj.groupBy(col("layer"), col("src"))
       .agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head().getLong(0)
-    assert(deg <= 6, "out-degree exceeds m")
+    assert(deg <= 12, "out-degree exceeds 2m (m forward + reverse links)")
     // a node on layer l must satisfy the deterministic level rule
+    // (stride 8 at this corpus size per strideFor)
+    assert(HnswGraph.strideFor(embeddings.count()) === 8L)
     val bad1 = adj.where(col("layer") === 1 && col("src") % 8 =!= 0).count()
     val bad2 = adj.where(col("layer") === 2 && col("src") % 64 =!= 0).count()
     assert(bad1 === 0 && bad2 === 0)
@@ -56,9 +58,10 @@ class HnswGraphSpec extends SparkSpec {
     val hits = ann.intersect(brute).count()
     val recall = hits.toDouble / (5.0 * nQ)
     // a fixed-schedule beam over an m=6 graph is not exact by design —
-    // the floor pins the structure keeps working (observed ~substantially
-    // higher; s01 is the accuracy baseline, like s03/s04)
-    assert(recall >= 0.5, f"recall@5 $recall%.3f below floor")
+    // the floor pins the structure keeps working (s01 is the accuracy
+    // baseline, like s03/s04). Raised 0.5 → 0.6 with the r8 bidirectional
+    // + pruned graph and deepened schedule (observed 0.75 at sf0.01).
+    assert(recall >= 0.6, f"recall@5 $recall%.3f below floor")
   }
 
   test("search results are deterministic across runs") {
@@ -85,20 +88,14 @@ class HnswGraphSpec extends SparkSpec {
       .select(col("vec_id"), col("v"))
       .withColumn("nrm",
         sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
-    // the s11 cell rule over corpus ∪ delta
+    // the s11 cell rule over corpus ∪ delta: sign buckets sized by the
+    // CORPUS the standing graph was built from (the build-time params
+    // the append must share)
     val union = e.unionByName(delta)
-    val cents = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    val cells = union.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        round(graft.functions.TextFunctions.dot(col("v"), col("cv")) /
-          (col("nrm") * col("cn")), 6).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))))
-      .where(col("rn") <= 2).select(col("vec_id"), col("cid"))
-    val epoch = HnswGraph.append("s11_hnsw_graph", e, delta, cells)
+    val cells = HnswGraph.signCells(union,
+      HnswGraph.bitsFor(e.count()))
+    val epoch = HnswGraph.append("s11_hnsw_graph", e, delta, cells,
+      stride = HnswGraph.strideFor(e.count()))
     assert(epoch >= 1)
     val after = spark.table("s11_hnsw_graph").collect().toSet
     assert(before.subsetOf(after), "append must not rewrite standing edges")
