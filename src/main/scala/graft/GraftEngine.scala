@@ -200,6 +200,68 @@ object Cli {
         println(s"tokenized ${agg.getLong(0)} docs: " +
           s"${agg.getLong(1)} tokens under ${codec.merges.length} merges" +
           opts.get("out").map(o => s" -> $o").getOrElse(""))
+      case Some("table-history") =>
+        // epoch history of a commit-protocol snapshot table: the live
+        // epoch plus every retained version still on disk. Reads the
+        // WAREHOUSE directly (a fresh JVM's in-memory catalog has
+        // forgotten the tables; the directories and the epoch file are
+        // the durable truth)
+        val t = opts("table").toLowerCase
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current = graft.operators.TableCommit.epochOf(spark, t)
+        println(s"table $t: current epoch $current")
+        val versions = (if (fs.exists(wh)) fs.listStatus(wh).toSeq
+          else Nil)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"${t}__v"))
+          .sortBy(_.getPath.getName)
+        versions.foreach { s =>
+          val e = s.getPath.getName.stripPrefix(s"${t}__v")
+          val bytes = fs.getContentSummary(s.getPath).getLength
+          println(s"  retained epoch $e: ${s.getPath} ($bytes bytes)")
+        }
+        if (versions.isEmpty) println("  (no retained versions)")
+      case Some("table-read") =>
+        // read a snapshot table AS OF an epoch (default: live) straight
+        // from its warehouse location — works from a fresh JVM; prints
+        // count + schema, and with --out copies the rows to parquet
+        val t = opts("table").toLowerCase
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val current = graft.operators.TableCommit.epochOf(spark, t)
+        val epoch = opts.get("epoch").map(_.toLong).getOrElse(current)
+        val dir = if (epoch == current) s"$wh/$t" else s"$wh/${t}__v$epoch"
+        val df = spark.read.parquet(dir)
+        println(s"$t as of epoch $epoch (current $current): " +
+          s"${df.count()} rows, schema ${df.schema.simpleString}")
+        opts.get("out").foreach { o =>
+          df.write.mode("overwrite").parquet(o)
+          println(s"copied -> $o")
+        }
+      case Some("table-vacuum") =>
+        // bound a table's retained history to the newest --keep versions
+        val t = opts("table").toLowerCase
+        val dropped = graft.operators.SnapshotMerge.vacuumVersions(
+          spark, t, opts.getOrElse("keep", "2").toInt)
+        // a fresh JVM's catalog may not know the tables — also clear
+        // any surviving warehouse directories below the cut directly
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cut = graft.operators.TableCommit.epochOf(spark, t) -
+          opts.getOrElse("keep", "2").toInt
+        val extra = (if (fs.exists(wh)) fs.listStatus(wh).toSeq else Nil)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"${t}__v"))
+          .filter(s => scala.util.Try(
+            s.getPath.getName.stripPrefix(s"${t}__v").toLong)
+            .toOption.exists(_ < cut))
+        extra.foreach(s => fs.delete(s.getPath, true))
+        val all = (dropped ++ extra.map(
+          _.getPath.getName.stripPrefix(s"${t}__v").toLong)).distinct.sorted
+        println(s"vacuumed epochs: ${
+          if (all.isEmpty) "(none)" else all.mkString(", ")}")
       case Some("profile") =>
         // the t16 one-pass data-quality report over a documents parquet
         // dir: per column, rows / nulls / KMV distinct estimate
@@ -221,6 +283,9 @@ object Cli {
              |  train-bpe --in SF_DIR [--out MERGES_TXT]
              |            [--n-merges N --batch B]   (batched scale path)
              |  tokenize  --in SF_DIR --merges MERGES_TXT [--out PARQUET]
+             |  table-history --table T
+             |  table-read    --table T [--epoch E] [--out PARQUET]
+             |  table-vacuum  --table T [--keep N]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }
