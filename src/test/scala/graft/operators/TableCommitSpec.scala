@@ -104,6 +104,44 @@ class TableCommitSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS tc_race")
   }
 
+  test("a crashed writer's abandoned lock blocks commits until " +
+      "breakStaleLock, which respects the age threshold") {
+    import spark.implicits._
+    SnapshotMerge.writeSnapshot(
+      Seq((1L, 1L, "a")).toDF("k", "version", "v"), "tc_stale", "k",
+      nBuckets = 2)
+    try {
+      // simulate a writer that died inside the critical section: create
+      // the abandoned lock directly, the way a kill -9 mid-swap leaves
+      // it (commit() itself always releases in finally)
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), ".commits/tc_stale.lock")
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(wh, false).close()
+      val e = intercept[TableCommit.ConcurrentWriteException] {
+        SnapshotMerge.mergeCommit(spark, "tc_stale",
+          Seq((1L, 2L, "U", "b")).toDF("k", "version", "op", "v"), "k",
+          nBuckets = 2)
+      }
+      assert(e.getMessage.contains("lock held"))
+      // too young: the breaker refuses (a LIVE writer may hold it)
+      assert(!TableCommit.breakStaleLock(spark, "tc_stale",
+        minAgeMs = 600000L))
+      // old enough: broken, and the next commit goes through
+      assert(TableCommit.breakStaleLock(spark, "tc_stale", minAgeMs = 0L))
+      val e2 = SnapshotMerge.mergeCommit(spark, "tc_stale",
+        Seq((1L, 2L, "U", "b")).toDF("k", "version", "op", "v"), "k",
+        nBuckets = 2)
+      assert(e2 === TableCommit.epochOf(spark, "tc_stale"))
+      assert(spark.table("tc_stale").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet ===
+        Set(1L -> "b"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tc_stale")
+      TableCommit.reset(spark, "tc_stale")
+    }
+  }
+
   test("ivf appendCommit serializes and bumps the epoch") {
     import spark.implicits._
     val vecs = Seq((0L, Array(1.0, 0.0), 0L), (1L, Array(0.0, 1.0), 1L))

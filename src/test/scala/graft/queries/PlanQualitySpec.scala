@@ -256,6 +256,47 @@ class PlanQualitySpec extends SparkSpec
     }
   }
 
+  test("D15: first-occurrence is a partial min-struct aggregate on the " +
+      "segment fingerprint — never a window over the global segment " +
+      "table, never a cartesian") {
+    val plan = planOf(LlmQueries.all("d15_paragraph_dedup")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the global-first-occurrence min(struct) must partial-agg below its
+    // shuffle (mergeable buffers — the 100 TB shape); a Window here
+    // would single-partition the exploded segment table
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_min")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected partial min-struct under the shuffle:\n$plan")
+    assert(!plan.contains("Window"),
+      s"d15 must not window over the segment table:\n$plan")
+  }
+
+  test("D16: cluster rollup partial-aggregates; scoring joins are " +
+      "equi-joins") {
+    LlmQueries.clearStageCache()
+    val plan = planOf(LlmQueries.all("d16_cluster_keep_best")(spark,
+      sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_min")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected partial min-struct (argmax) under the shuffle:\n$plan")
+  }
+
+  test("D17/D18: centroids broadcast; the contamination check joins on " +
+      "the cell id, never corpus × eval") {
+    for (q <- Seq("d17_semantic_decontaminate", "d18_decontam_recall")) {
+      val plan = planOf(LlmQueries.all(q)(spark, sf0001))
+      // the K-row centroid pass (and d18's small eval side) broadcast;
+      // the corpus-sized joins must never degenerate to a cartesian
+      assert(plan.contains("BroadcastExchange"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("S03 IVF: centroids broadcast; list search is never a cartesian") {
     val plan = planOf(LlmQueries.all("s03_ann_ivf_topk")(spark, sf0001))
     // the K-row centroid scoring pass must broadcast (a K-bounded
