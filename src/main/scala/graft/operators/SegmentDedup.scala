@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions.{fingerprint, tokens}
+
+/** Incremental paragraph-granularity dedup — the d11 production shape at
+  * d15's unit: "which 16-token segments of this NEW batch already exist
+  * in the standing corpus", answered WITHOUT re-exploding the standing
+  * corpus. The batch query (d15) derives every segment each run; at
+  * 100 TB the standing side must be a materialized fingerprint snapshot
+  * each delta batch probes.
+  *
+  * Layout (same argument as [[IncrementalDedup]]):
+  *  - [[writeSnapshot]] stores the standing corpus's DISTINCT segment
+  *    fingerprints (one long per ~16 tokens) BUCKETED by fp via
+  *    [[BucketedLayout]] — a few bytes per segment, written once per
+  *    accepted corpus revision.
+  *  - [[dedupDelta]] probes the snapshot on fp: the snapshot side is
+  *    read bucket-for-bucket with no Exchange (only the delta shuffles,
+  *    to the bucket count); within-delta first-occurrence is the same
+  *    min-struct aggregate as d15.
+  *  - [[appendCommit]] admits a batch: its genuinely-new fingerprints
+  *    append bucket-preservingly under the [[TableCommit]] protocol
+  *    (one file per touched bucket per batch — compaction on rebuild,
+  *    the [[IvfIndex.append]] small-files story).
+  */
+object SegmentDedup {
+
+  val SegTokens = 16
+
+  /** (doc_id, seg_idx, seg_ntok, fp): the deterministic non-overlapping
+    * 16-token segmentation d15 defines — ONE derivation shared by the
+    * batch query, this operator, and their oracles. */
+  def segments(docs: DataFrame): DataFrame = {
+    val L = SegTokens
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(w) + ${L - 1}) div $L - 1), " +
+            s"j -> concat_ws(' ', slice(w, j * $L + 1, $L)))"))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"),
+        least(lit(L), col("n_tok") - col("seg_idx") * L).cast("long")
+          .as("seg_ntok"),
+        fingerprint(col("seg")).as("fp"))
+  }
+
+  /** Materialize the standing corpus's distinct segment fingerprints as
+    * a bucketed managed table (fp, bucketed+sorted by fp). */
+  def writeSnapshot(docs: DataFrame, table: String,
+      nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    SnapshotMerge.dropTableAndLocation(spark, table)
+    BucketedLayout.writeBucketed(
+      segments(docs).select(col("fp")).distinct(), table, "fp", nBuckets)
+  }
+
+  /** Per-delta-document removal budget vs the standing snapshot AND
+    * within the batch: (doc_id, n_segs, dup_vs_corpus, dup_within,
+    * tokens_removed, dup_frac). A segment drops when the standing corpus
+    * already has its fingerprint, or an earlier (doc_id, seg_idx) in the
+    * SAME batch contributed it first — the d15 rule with the standing
+    * side materialized. */
+  def dedupDelta(spark: SparkSession, delta: DataFrame,
+      table: String): DataFrame = {
+    // two consumers (snapshot probe + within-batch first-occurrence):
+    // pay the explode once — delta batches are small by nature
+    val segs = segments(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    val first = segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
+    val probed = segs
+      .join(spark.table(table).select(col("fp"), lit(1L).as("in_snap")),
+        Seq("fp"), "left")
+      .join(first, "fp")
+      .select(col("doc_id"), col("seg_ntok"),
+        coalesce(col("in_snap"), lit(0L)).as("dup_snap"),
+        (col("in_snap").isNull &&
+          (col("keep.doc_id") =!= col("doc_id") ||
+            col("keep.seg_idx") =!= col("seg_idx"))).cast("long")
+          .as("dup_within"))
+    probed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(col("dup_snap")).as("dup_vs_corpus"),
+        sum(col("dup_within")).as("dup_within"),
+        sum((col("dup_snap") + col("dup_within")) * col("seg_ntok"))
+          .as("tokens_removed"))
+      .select(col("doc_id"), col("n_segs"), col("dup_vs_corpus"),
+        col("dup_within"), col("tokens_removed"),
+        round((col("dup_vs_corpus") + col("dup_within"))
+          .cast("double") / col("n_segs"), 4).as("dup_frac"))
+  }
+
+  /** Admit an accepted delta batch: its fingerprints NOT already in the
+    * snapshot append under the [[TableCommit]] single-winner protocol,
+    * preserving the bucket spec. Returns the new epoch. */
+  def appendCommit(delta: DataFrame, table: String,
+      nBuckets: Int = 32): Long = {
+    val spark = delta.sparkSession
+    val newFps = segments(delta).select(col("fp")).distinct()
+      .join(spark.table(table), Seq("fp"), "left_anti")
+    val base = TableCommit.epochOf(spark, table)
+    TableCommit.commit(spark, table, base) {
+      newFps.repartition(nBuckets, col("fp"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(nBuckets, "fp").sortBy("fp")
+        .format("parquet").saveAsTable(table)
+      base + 1
+    }
+  }
+}

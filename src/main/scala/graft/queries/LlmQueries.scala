@@ -1668,18 +1668,7 @@ object LlmQueries {
     * table), join back on fp, then a doc-keyed aggregate. Every shuffle
     * is keyed by fp or doc_id; nothing is quadratic in documents. */
   def d15ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
-    val L = 16
-    val segs = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), size(col("w")).as("n_tok"),
-        posexplode(expr(
-          s"transform(sequence(0, (size(w) + ${L - 1}) div $L - 1), " +
-            s"j -> concat_ws(' ', slice(w, j * $L + 1, $L)))"))
-          .as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"),
-        least(lit(L), col("n_tok") - col("seg_idx") * L).cast("long")
-          .as("seg_ntok"),
-        fingerprint(col("seg")).as("fp"))
+    val segs = graft.operators.SegmentDedup.segments(docs(s, dir))
     val first = segs.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
     segs.join(first, "fp")
@@ -1712,6 +1701,25 @@ object LlmQueries {
     * on doc_id and the cluster rollup is a mergeable min-struct/sum
     * groupBy on the label — the per-cluster argmax never sorts members,
     * and nothing windows over the corpus. */
+  /** D19: incremental paragraph dedup — d15's unit dedup in the d11
+    * production shape: the standing corpus (doc_id % 3 ≠ 0 here) is a
+    * materialized DISTINCT-fingerprint snapshot bucketed by fp, and the
+    * delta batch (doc_id % 3 = 0) probes it — the snapshot side is read
+    * bucket-for-bucket with NO Exchange (plan-pinned), only the
+    * delta-sized side shuffles. Output is the per-delta-doc removal
+    * budget split by cause: segments the standing corpus already has vs
+    * segments an earlier delta doc contributed first.
+    * [[graft.operators.SegmentDedup]] owns the derivation (shared with
+    * d15, so the two tiers provably segment identically);
+    * `SegmentDedupSpec` covers the append/admission path. */
+  def d19IncrementalParagraph(s: SparkSession, dir: String): DataFrame = {
+    val standing = docs(s, dir).where(col("doc_id") % 3 =!= 0)
+    val delta = docs(s, dir).where(col("doc_id") % 3 === 0)
+    graft.operators.SegmentDedup.writeSnapshot(standing, "d19_seg_snapshot")
+    graft.operators.SegmentDedup.dedupDelta(s, delta, "d19_seg_snapshot")
+      .orderBy(col("doc_id"))
+  }
+
   def d16ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
     val labels = corpusDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
@@ -2756,6 +2764,7 @@ object LlmQueries {
     "d16_cluster_keep_best" -> (d16ClusterKeepBest _),
     "d17_semantic_decontaminate" -> (d17SemanticDecontaminate _),
     "d18_decontam_recall" -> (d18DecontamRecall _),
+    "d19_incremental_paragraph" -> (d19IncrementalParagraph _),
     "t06_top_ngrams" -> (t06TopNgrams _),
     "t07_pii_redact" -> (t07PiiRedact _),
     "t08_chunk_split" -> (t08ChunkSplit _),
@@ -4219,6 +4228,33 @@ object LlmQueries {
          |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 /
          |    count(*), 4) dup_frac
          |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d19_incremental_paragraph" ->
+      s"""WITH $W,
+         |segs AS (SELECT doc_id, len(w) n_tok,
+         |    UNNEST(range(0, (len(w) + 15) // 16)) j, w FROM words),
+         |seg2 AS (SELECT doc_id, j,
+         |    least(16, n_tok - j * 16) ntok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |        array_to_string(w[j*16+1:(j+1)*16], ' '), '')]),
+         |      (a,b)->(a*31+b)%1000000007) fp
+         |  FROM segs),
+         |snapfp AS (SELECT DISTINCT fp FROM seg2 WHERE doc_id % 3 <> 0),
+         |rn AS (SELECT doc_id, j, ntok, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) rnk
+         |  FROM seg2 WHERE doc_id % 3 = 0),
+         |fl AS (SELECT r.doc_id, r.ntok,
+         |    CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END dup_snap,
+         |    CASE WHEN s.fp IS NULL AND r.rnk > 1 THEN 1 ELSE 0 END
+         |      dup_within
+         |  FROM rn r LEFT JOIN snapfp s ON s.fp = r.fp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) n_segs,
+         |  CAST(sum(dup_snap) AS BIGINT) dup_vs_corpus,
+         |  CAST(sum(dup_within) AS BIGINT) dup_within,
+         |  CAST(sum((dup_snap + dup_within) * ntok) AS BIGINT)
+         |    tokens_removed,
+         |  round(sum(dup_snap + dup_within) * 1.0 / count(*), 4) dup_frac
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d16_cluster_keep_best" ->
       s"""WITH RECURSIVE $JAC,
          |$LSHCAND,
