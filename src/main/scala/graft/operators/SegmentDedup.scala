@@ -67,6 +67,12 @@ object SegmentDedup {
     * side materialized. */
   def dedupDelta(spark: SparkSession, delta: DataFrame,
       table: String): DataFrame = {
+    // the snapshot may have been appended to by ANOTHER session (a
+    // streaming micro-batch runs in a cloned session; a concurrent
+    // admitter is its own session) — this session's cached file listing
+    // for the table is then stale and the probe would silently miss the
+    // newest fingerprints. Refresh is O(listing), not O(data)
+    spark.catalog.refreshTable(table)
     // two consumers (snapshot probe + within-batch first-occurrence):
     // pay the explode once — delta batches are small by nature
     val segs = segments(delta).persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,6 +106,7 @@ object SegmentDedup {
   def appendCommit(delta: DataFrame, table: String,
       nBuckets: Int = 32): Long = {
     val spark = delta.sparkSession
+    spark.catalog.refreshTable(table) // see dedupDelta: cross-session appends
     val newFps = segments(delta).select(col("fp")).distinct()
       .join(spark.table(table), Seq("fp"), "left_anti")
     val base = TableCommit.epochOf(spark, table)

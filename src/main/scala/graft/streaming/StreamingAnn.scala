@@ -42,6 +42,10 @@ object StreamingAnn {
         Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))))
       .where(col("rn") <= nProbe)
       .select(col("q"), col("qv"), col("qn"), col("cid"))
+    // cross-session appends (IvfIndex.appendCommit from another JVM's
+    // writer or a cloned streaming session) leave this session's file
+    // listing stale — refresh before resolving (O(listing))
+    spark.catalog.refreshTable(table)
     val index = spark.table(table)
     val scored = broadcast(probes).join(index,
         probes("cid") === index("cid") && index("vec_id") =!= probes("q"))

@@ -36,6 +36,11 @@ object StreamingGraphAnn {
           .select(col("vec_id").as("q"), col("v").as("qv"))
           .withColumn("qn",
             sqrt(graft.functions.TextFunctions.dot(col("qv"), col("qv"))))
+        // an HnswGraph.append from another session leaves this
+        // session's file listing for the table stale — refresh per
+        // trigger (O(listing)) so served results include the newest
+        // appended vectors
+        spark.catalog.refreshTable(table)
         sink(HnswGraph.search(spark.table(table), corpus, qs,
           efUpper, ef0, k))
       }
