@@ -98,6 +98,44 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // OUTLIER RE-RUN: any row whose reading exceeds 2× the hi edge of its
+    // recorded clean-host band (bands.json, written from 3 clean runs) is
+    // re-timed once at sweep end with a fresh single-thread calibration
+    // sample on each side. Both readings are emitted — a transient host
+    // spike shows as rerun ≪ first (with the recalib pinning what the
+    // host gave), a real regression shows as rerun ≈ first — so a spiky
+    // driver host can no longer produce an unadjudicable weak call.
+    val bands: Map[String, (Double, Double)] = {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BANDS", "bands.json"))
+      if (!f.exists()) Map.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(f).asInstanceOf[JObject].obj.collect {
+          case (name, JArray(List(lo, hi))) =>
+            name -> (lo.values.toString.toDouble,
+              hi.values.toString.toDouble)
+        }.toMap
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] bands.json unreadable: ${t.getMessage}")
+        Map.empty
+      }
+    }
+    val reruns: Seq[(String, Double, Double, Double, Double)] =
+      results.filter { case (name, secs, ok) =>
+        ok && bands.get(name).exists { case (_, hi) => secs > 2 * hi }
+      }.map { case (name, first, _) =>
+        val c0 = calibrate(1)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val again = (System.nanoTime() - t0) / 1e9
+        val c1 = calibrate(1)
+        System.err.println(f"[bench] outlier re-run $name: first=$first%.2f" +
+          f" rerun=$again%.2f (calib $c0%.2f/$c1%.2f)")
+        (name, first, again, c0, c1)
+      }
+
     // optional untimed metrics pass: per-query shuffle/spill volumes from
     // the operator SQLMetrics (SPARK_GRAFT_BENCH_METRICS=1). Separate
     // from the timed loop so the timing methodology stays comparable
@@ -181,9 +219,13 @@ object Bench {
         .mkString("{", ",", "}")
       s""""queries_shuffle_bytes":$sh,"queries_spill_bytes":$sp,"""
     }.getOrElse("")
+    val rerunJson = reruns.map { case (k, first, again, c0, c1) =>
+      "\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + again +
+        ",\"recalib_t1\":[" + c0 + "," + c1 + "]}"
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stages":$stages,""" +
+      s""""stages":$stages,"queries_rerun":$rerunJson,""" +
       s""""queries_ok":$oks,"errors":$errors,$volJson""" +
       s""""images_per_sec":$imagesPerSec,""" +
       s""""images_per_sec_max":$imagesPerSecMax,""" +

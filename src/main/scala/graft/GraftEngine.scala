@@ -242,26 +242,12 @@ object Cli {
       case Some("table-vacuum") =>
         // bound a table's retained history to the newest --keep versions
         val t = opts("table").toLowerCase
+        // vacuumVersions resolves retained history from the warehouse
+        // DISK listing itself, so this works from a fresh JVM too
         val dropped = graft.operators.SnapshotMerge.vacuumVersions(
           spark, t, opts.getOrElse("keep", "2").toInt)
-        // a fresh JVM's catalog may not know the tables — also clear
-        // any surviving warehouse directories below the cut directly
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val cut = graft.operators.TableCommit.epochOf(spark, t) -
-          opts.getOrElse("keep", "2").toInt
-        val extra = (if (fs.exists(wh)) fs.listStatus(wh).toSeq else Nil)
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith(s"${t}__v"))
-          .filter(s => scala.util.Try(
-            s.getPath.getName.stripPrefix(s"${t}__v").toLong)
-            .toOption.exists(_ < cut))
-        extra.foreach(s => fs.delete(s.getPath, true))
-        val all = (dropped ++ extra.map(
-          _.getPath.getName.stripPrefix(s"${t}__v").toLong)).distinct.sorted
         println(s"vacuumed epochs: ${
-          if (all.isEmpty) "(none)" else all.mkString(", ")}")
+          if (dropped.isEmpty) "(none)" else dropped.sorted.mkString(", ")}")
       case Some("profile") =>
         // the t16 one-pass data-quality report over a documents parquet
         // dir: per column, rows / nulls / KMV distinct estimate

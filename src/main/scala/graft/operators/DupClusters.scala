@@ -23,7 +23,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale notes: lineage is truncated every round with an eager
   * `localCheckpoint` — an iterative plan otherwise doubles in depth each
-  * round and analysis time explodes. On a multi-executor cluster prefer
+  * round and analysis time explodes. The per-round checkpoints store
+  * MEMORY_ONLY: a label table is ~16 B per vertex, and the default
+  * MEMORY_AND_DISK level write-through amplified host contention by a
+  * measured 2-4× on the bench (r8's stage_dup_labels row) for data that
+  * trivially fits memory; an evicted memory-only checkpoint block fails
+  * the job loudly rather than silently recomputing truncated lineage —
+  * at which point the right move is the cluster answer anyway:
   * `spark.sparkContext.setCheckpointDir` + reliable `checkpoint` so a
   * lost executor cannot drop a round's partitions mid-loop.
   */
@@ -60,7 +66,7 @@ object DupClusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_ONLY)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -70,7 +76,7 @@ object DupClusters {
         .select(col("src").as("id"), col("lbl"))
         .union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_ONLY)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.lbl") =!= col("o.lbl")).limit(1).count()
       // the old round's checkpoint blocks are reclaimed by the
@@ -106,12 +112,12 @@ object DupClusters {
     p.count()
     val vertices = p.select(col("a").as("id"))
       .union(p.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_ONLY)
     // canonical directed edges larger→smaller (self-loops dropped)
     var edges = p.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_ONLY)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -132,7 +138,7 @@ object DupClusters {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_ONLY)
       val grew = next.except(edges).limit(1).count()
       val shrank = edges.except(next).limit(1).count()
       edges = next

@@ -105,13 +105,41 @@ object HnswGraph {
         .as("cid"))
   }
 
+  /** Cosine-score candidate pairs (src, dst) against `e` = (vec_id, v,
+    * nrm): (src, dst, sim) with the engine's canonical 6-rounding and
+    * id-deterministic downstream tie-breaks. */
+  private def scorePairs(e: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
+          .as("sim"))
+
   /** Build the layered adjacency (layer, src, dst) for embeddings
     * `e` = (vec_id, v, nrm). `cells` = (vec_id, cid) with up to 2 rows
     * per vector ([[signCells]] — primary + multiprobe sign bucket)
-    * constrains layer-0 candidate generation; `stride` is the
-    * [[strideFor]] level rule the build and later appends must share. */
+    * seeds layer-0 candidate generation; `stride` is the [[strideFor]]
+    * level rule the build and later appends must share.
+    *
+    * Layer 0 is REFINED by `nnRounds` rounds of NN-descent (Dong et
+    * al. 2011, "Efficient k-nearest neighbor graph construction"):
+    * each round scores every neighbor-of-a-neighbor (over the
+    * SYMMETRIZED current graph) as a candidate and keeps the top `m`
+    * per node. The sign buckets alone stop producing a navigable graph
+    * as the corpus grows — [[bitsFor]] keeps per-bucket population
+    * bounded, so at x10 (20k vectors, 512 buckets) bucket-mates are
+    * only near-identicals and the r9 sweep measured recall@5 COLLAPSING
+    * to 0.13 however deep the beam schedule; NN-descent converges the
+    * edges toward the true kNN graph (the multiprobe flip-cell edges
+    * connect Hamming-adjacent buckets, so candidates propagate
+    * globally), restoring local navigability at ~n·(2m)² scored pairs
+    * per round — linear in the corpus, each round one self-join + one
+    * window, lineage truncated per round (the DupClusters pattern). */
   def build(e: DataFrame, cells: DataFrame, m: Int = 6,
-      stride: Long = 8L): DataFrame = {
+      stride: Long = 8L, nnRounds: Int = DefaultNnRounds): DataFrame = {
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     def topM(pairs: DataFrame, layer: Int): DataFrame =
@@ -124,7 +152,18 @@ object HnswGraph {
         .where(col("rk") <= m)
         .select(lit(layer).as("layer"), col("src"), col("dst"),
           col("sim"))
-    // layer 0: candidates share a coarse cell (equi-join keyed by cid)
+    // as topM but without the layer tag and with a caller-chosen keep
+    // count (the NN-descent pool is 2m wide)
+    def topM2(pairs: DataFrame, keep: Int): DataFrame =
+      pairs
+        .select(col("src"), col("dst"),
+          round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
+            .as("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(byS))
+        .where(col("rk") <= keep)
+        .select(col("src"), col("dst"), col("sim"))
+    // layer 0 seed: candidates share a coarse cell (equi-join on cid)
     val memb = e.join(cells, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
     val p0 = memb.as("a").join(memb.as("b"),
@@ -133,6 +172,59 @@ object HnswGraph {
       .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
         col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
         col("b.v").as("dv"), col("b.nrm").as("dn"))
+    // NN-descent rounds carry a candidate pool of 2m per node (the
+    // final round's pool feeds the diversity prune below; keeping only
+    // m during refinement throws away exactly the mid-similarity
+    // candidates diversity needs)
+    var l0 = topM2(p0, 2 * m)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    for (_ <- 1 to nnRounds) {
+      val sym = l0.select(col("src"), col("dst"))
+        .unionByName(l0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val non = sym.as("ab").join(sym.as("bc"),
+          col("ab.dst") === col("bc.src") &&
+            col("ab.src") =!= col("bc.dst"))
+        .select(col("ab.src").as("src"), col("bc.dst").as("dst"))
+      val cand = sym.unionByName(non).distinct()
+      l0 = scorePairs(e, cand)
+        .withColumn("rk", row_number().over(byS))
+        .where(col("rk") <= 2 * m)
+        .drop("rk")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    }
+    // DIVERSITY (RNG-rule) prune — the piece that makes a proximity
+    // graph NAVIGABLE rather than merely accurate (Malkov's
+    // select-neighbors heuristic / DiskANN's alpha-prune, in the
+    // similarity domain): within each node's ranked candidate pool,
+    // drop candidate a when some better-ranked candidate b already
+    // covers it (sim(a, b) > sim(src, a)) — a's direction is redundant
+    // with b's, and keeping it crowds out the mid-similarity edge a
+    // greedy walk needs to make progress. Measured at the x10 corpus:
+    // recall@5 0.25 → 0.9+ at the same degree budget. Cost: pool is
+    // 2m per node → ≤ n·(2m)²/2 pair scorings, linear in the corpus.
+    val ranked = l0.withColumn("rk", row_number().over(byS))
+    val crowd = ranked.as("a").join(ranked.as("b"),
+        col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
+      .select(col("a.src").as("src"), col("a.dst").as("adst"),
+        col("a.sim").as("sima"), col("b.dst").as("bdst"))
+    val covered = scorePairs(e, crowd
+        .select(col("adst").as("src"), col("bdst").as("dst")).distinct())
+      .withColumnRenamed("sim", "simab")
+      .withColumnRenamed("src", "adst")
+      .withColumnRenamed("dst", "bdst")
+    val pruned = crowd.join(covered, Seq("adst", "bdst"))
+      .where(col("simab") > col("sima"))
+      .select(col("src"), col("adst").as("dst")).distinct()
+    l0 = ranked.join(pruned, Seq("src", "dst"), "left_anti")
+      .withColumn("rk2", row_number().over(Window
+        .partitionBy(col("src")).orderBy(col("rk"))))
+      .where(col("rk2") <= m)
+      .select(col("src"), col("dst"), col("sim"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // upper layers: ABSOLUTELY bounded by the stride rule (≤ ~768 and
     // ~96 members whatever the corpus size) → exact within-layer
     // selection stays constant-cost as the corpus grows
@@ -144,7 +236,8 @@ object HnswGraph {
           col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
           col("b.v").as("dv"), col("b.nrm").as("dn"))
     }
-    val fwd = topM(p0, 0)
+    val fwd = l0.select(lit(0).as("layer"), col("src"), col("dst"),
+        col("sim"))
       .unionByName(topM(upper(1), 1))
       .unionByName(topM(upper(2), 2))
     // bidirectional links, as in real HNSW (and as [[append]] already
@@ -168,25 +261,29 @@ object HnswGraph {
   /** Incremental maintenance — insert `delta` vectors into the standing
     * graph `table` without a rebuild (the s11 sibling of
     * [[IvfIndex.append]] / [[IncrementalDedup]]): each new node gets its
-    * `m` best same-layer neighbors among the STANDING corpus members
-    * sharing one of its 2 sign-projection cells (the build-time rule),
-    * and for every chosen edge the REVERSE edge (standing → new) is
-    * appended too — without it a new node is unreachable from the
-    * entry-point descent. Append-only consequences, both standard for
-    * incremental HNSW and documented here: standing nodes' out-degree
-    * grows past `m` by the reverse edges until the next rebuild
-    * re-prunes, and new nodes do not link to EACH OTHER within a batch
-    * (delta batches are small by nature; a rebuild restores the exact
-    * batch construction). The append serializes through
-    * [[TableCommit]] — concurrent appenders get the protocol exception.
-    * `cells` must cover corpus ∪ delta (vec_id, cid — 2 rows each). */
+    * `m` best same-layer neighbors among the standing corpus members AND
+    * ITS OWN BATCH sharing one of its 2 sign-projection cells (the
+    * build-time rule — within-batch linking means two near-dup arrivals
+    * in one batch find each other without waiting for a rebuild), and
+    * for every chosen edge the REVERSE edge (standing → new) is appended
+    * too — without it a new node is unreachable from the entry-point
+    * descent. Reverse edges onto one standing node are pruned to its
+    * `m` best PER BATCH (sims are in hand for exactly the new edges, so
+    * this is the strongest prune an append-only write can apply — the
+    * 2m M_max invariant over the union of old + new edges needs the old
+    * edges' sims, i.e. a rewrite), so a standing node's out-degree grows
+    * by at most m per append until [[compact]] re-prunes globally —
+    * bounded-per-batch, documented, and spec-pinned. The append
+    * serializes through [[TableCommit]] — concurrent appenders get the
+    * protocol exception. `cells` must cover corpus ∪ delta (vec_id,
+    * cid — 2 rows each). */
   def append(table: String, corpus: DataFrame, delta: DataFrame,
       cells: DataFrame, m: Int = 6, nBuckets: Int = 8,
       stride: Long = 8L): Long = {
     val spark = corpus.sparkSession
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
-    def topM(pairs: DataFrame, layer: Int): DataFrame =
+    def topM(pairs: DataFrame): DataFrame =
       pairs
         .select(col("src"), col("dst"),
           round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
@@ -194,13 +291,14 @@ object HnswGraph {
         .distinct()
         .withColumn("rk", row_number().over(byS))
         .where(col("rk") <= m)
-        .select(lit(layer).as("layer"), col("src"), col("dst"))
-    // layer 0: delta probes the standing members of its coarse cells
+        .drop("rk")
+    // layer 0: delta probes standing ∪ batch members of its coarse cells
     val dMemb = delta.join(cells, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
     val cMemb = corpus.join(cells, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
-    val p0 = dMemb.as("a").join(cMemb.as("b"),
+    val bMemb = cMemb.unionByName(dMemb)
+    val p0 = dMemb.as("a").join(bMemb.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
@@ -208,24 +306,35 @@ object HnswGraph {
         col("b.v").as("dv"), col("b.nrm").as("dn"))
     def upper(layer: Int): DataFrame = {
       val dm = delta.where(levelOf(col("vec_id"), stride) >= layer)
-      val cm = corpus.where(levelOf(col("vec_id"), stride) >= layer)
+      val cm = corpus.unionByName(delta)
+        .where(levelOf(col("vec_id"), stride) >= layer)
       dm.as("a").join(cm.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
           col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
           col("b.v").as("dv"), col("b.nrm").as("dn"))
     }
-    val fwd = topM(p0, 0)
-      .unionByName(topM(upper(1), 1))
-      .unionByName(topM(upper(2), 2))
-    val edges = fwd.unionByName(fwd.select(col("layer"),
-        col("dst").as("src"), col("src").as("dst")))
+    val fwd = topM(p0).withColumn("layer", lit(0))
+      .unionByName(topM(upper(1)).withColumn("layer", lit(1)))
+      .unionByName(topM(upper(2)).withColumn("layer", lit(2)))
+    // reverse edges: a popular standing node would otherwise take one
+    // reverse edge per delta admirer — keep only its m best this batch
+    val rev = fwd.select(col("layer"), col("dst").as("src"),
+        col("src").as("dst"), col("sim"))
+      .groupBy(col("layer"), col("src"), col("dst"))
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("layer"), col("src"))
+        .orderBy(col("sim").desc, col("dst"))))
+      .where(col("rk") <= m)
+    val edges = fwd.select(col("layer"), col("src"), col("dst"))
+      .unionByName(rev.select(col("layer"), col("src"), col("dst")))
       .distinct()
     val base = TableCommit.epochOf(spark, table)
     TableCommit.commit(spark, table, base) {
       // match the standing table's bucket spec (appending unbucketed
       // rows to a bucketed table is rejected); appends add a file per
       // touched bucket — the scan's per-file sort order then degrades
-      // until the next full rebuild re-compacts, exactly like
+      // until the next [[compact]] rebuild re-compacts, exactly like
       // IvfIndex.append's small-files story
       edges.repartition(nBuckets, col("src"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -235,10 +344,96 @@ object HnswGraph {
     }
   }
 
-  /** Beam-descend `qs` = (q, qv, qn) through the graph. Returns
-    * (q, rk, nb, sim) — top-`k` neighbors per query, self excluded. */
+  /** Rebuild-compact the standing graph `table` from the CURRENT corpus
+    * (standing ∪ everything appended since the last build) — the
+    * [[IvfIndex.compact]] equivalent a standing serving index needs:
+    * [[append]] leaves one file per touched bucket per batch, lets
+    * standing out-degrees drift up to m per batch past the 2m M_max
+    * prune, and never links old nodes TOWARD new regions; a periodic
+    * rebuild restores the exact batch construction (file count back to
+    * one per bucket, every degree re-pruned to ≤ 2m, edges globally
+    * re-ranked). The heavy build runs OUTSIDE the [[TableCommit]] lock
+    * against a stage table; only the O(1) catalog swap + epoch bump are
+    * inside — a concurrent [[append]] racing the swap loses cleanly with
+    * the protocol exception (its edges were based on the superseded
+    * graph). `baseEpoch` is the epoch the rebuild's CORPUS READ was
+    * based on (pass what you read before deriving `e`; defaults to the
+    * epoch at call time) — an append landing between that read and this
+    * commit fails the CAS, because the rebuilt graph would silently
+    * drop the appended vectors. Returns the new epoch. */
+  def compact(table: String, e: DataFrame, cells: DataFrame, m: Int = 6,
+      nBuckets: Int = 8, stride: Long = 8L,
+      baseEpoch: Option[Long] = None): Long = {
+    val spark = e.sparkSession
+    val base = baseEpoch.getOrElse(TableCommit.epochOf(spark, table))
+    val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
+    BucketedLayout.writeBucketed(
+      build(e, cells, m = m, stride = stride), stage, "src", nBuckets)
+    try {
+      TableCommit.commit(spark, table, base) {
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+        base + 1
+      }
+    } catch { case t: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      throw t
+    }
+  }
+
+  /** Default beam schedule — ONE definition shared by [[search]], the
+    * s11 query, its SQL oracle generator, and the streaming server, so
+    * the Scala path and the DuckDB replay cannot drift. Chosen from the
+    * measured recall/cost curve (`HnswSweep`, recorded in BASELINE.md):
+    * recall@5 vs the s01 brute answer at sf0.01 is 0.94 here, vs 0.75
+    * at the r8 schedule (efUpper 4 / ef0 16 / 3 layer-0 hops). */
+  val DefaultEfUpper = 8
+  val DefaultEf0 = 64
+  val DefaultHops0 = 6
+  /** Graph degree parameter (HNSW's M): forward edges per node after
+    * the diversity prune; total degree bounded by 2M. 16 is the real
+    * HNSW's default neighborhood for this dimensionality — the r9 x10
+    * sweep measured recall@5 0.62 at M=8 vs 0.91 at M=16 under the
+    * same schedule. Shared with the SQL oracle generator like the
+    * schedule constants below. */
+  val DefaultM = 16
+  /** NN-descent refinement rounds in [[build]] — shared with the SQL
+    * oracle generator like the schedule constants above. */
+  val DefaultNnRounds = 3
+
+  /** Descend `qs` = (q, qv, qn) through the graph. Returns
+    * (q, rk, nb, sim) — top-`k` neighbors per query, self excluded.
+    *
+    * LANDING: the upper layers are uniform id-samples whose populations
+    * [[strideFor]] bounds ABSOLUTELY (layer 1 ≤ ~768 at any corpus
+    * size), so the search scans every layer-≥1 member EXACTLY and
+    * keeps the top `efUpper` per query — the true layer-1 optimum, at
+    * a broadcast-sized O(768·|Q|) cost forever. Beam-navigating the
+    * upper layers instead (the r8 design, entry pinned at node 0) was
+    * measured COLLAPSING at the x10 corpus: recall@5 0.13, because a
+    * fixed hop budget cannot cover a growing graph distance from one
+    * fixed entry. True HNSW buys global navigation with an unbounded
+    * until-no-improvement walk; a fixed-depth replayable schedule buys
+    * it with the exact scan of the bounded sample instead.
+    *
+    * FINAL MILE: `hops0` fixed beam hops over the NN-descent-refined
+    * layer-0 graph, beam `ef0` — deterministic, SQL-replayable; the
+    * recall/cost curve over (efUpper, ef0, hops0) is recorded by
+    * `HnswSweep` (BASELINE.md) and the defaults sit at its knee
+    * (recall@5 ≥ 0.9 vs the s01 brute answer).
+    *
+    * Each hop's frontier is MATERIALIZED (eager memory-only
+    * localCheckpoint): a hop reads its frontier twice (the expansion
+    * join and the re-rank union), so a fully lazy chain doubles the
+    * plan per hop — 2^hops copies of the scan by the final re-rank,
+    * and driver-side planning, not execution, dominated the r8 s11 row
+    * (measured: search seconds DOUBLED per added hop with lazy plans;
+    * flat per hop materialized). Frontiers are k·ef-row tables —
+    * driver-adjacent scale — and checkpoint blocks free with the
+    * ContextCleaner once the result is consumed. */
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,
-      efUpper: Int = 4, ef0: Int = 16, k: Int = 5): DataFrame = {
+      efUpper: Int = DefaultEfUpper, ef0: Int = DefaultEf0, k: Int = 5,
+      hops0: Int = DefaultHops0): DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     // frontier columns: (q, qv, qn, node, sim)
     def score(cands: DataFrame): DataFrame =
@@ -259,22 +454,23 @@ object HnswGraph {
       cand.withColumn("rk", row_number().over(w))
         .where(col("rk") <= ef)
         .drop("rk")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     }
-    val entry = score(qs.select(col("q"), col("qv"), col("qn"),
-      lit(0L).as("node")))
-    val f2 = hop(entry, 2, efUpper)
-    // two hops per navigating layer: one hop only reaches the entry
-    // point's immediate neighborhood, which strands the descent far from
-    // the query's region (observed as an unreachable exact-duplicate in
-    // HnswGraphSpec); a second hop per layer restores the greedy-walk
-    // depth true HNSW gets from its until-no-improvement loop while
-    // keeping the schedule fixed (deterministic, SQL-replayable)
-    val f1 = hop(hop(f2, 1, efUpper), 1, efUpper)
-    val g1 = hop(f1, 0, ef0)
-    val g2 = hop(hop(g1, 0, ef0), 0, ef0)
+    // landing: exact scan of the bounded layer-≥1 sample (see scaladoc)
+    val l1 = adj.where(col("layer") >= 1)
+      .select(col("src")).distinct().withColumnRenamed("src", "node")
+    val wE = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("node"))
+    val entry = score(qs.join(l1))
+      .withColumn("rk", row_number().over(wE))
+      .where(col("rk") <= efUpper).drop("rk")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val g = (1 to hops0).foldLeft(entry)((f, _) => hop(f, 0, ef0))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("node"))
-    g2.where(col("node") =!= col("q"))
+    g.where(col("node") =!= col("q"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q"), col("rk"), col("node").as("nb"), col("sim"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions.{fingerprint, tokens}
 
@@ -74,8 +73,13 @@ object SegmentDedup {
     // newest fingerprints. Refresh is O(listing), not O(data)
     spark.catalog.refreshTable(table)
     // two consumers (snapshot probe + within-batch first-occurrence):
-    // pay the explode once — delta batches are small by nature
-    val segs = segments(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    // pay the explode once — delta batches are small by nature. Eager
+    // localCheckpoint, NOT persist: this runs every micro-batch in
+    // StreamingSegmentDedup, and a CacheManager entry nobody unpersists
+    // accumulates for the life of the session; checkpoint blocks are
+    // reclaimed by the ContextCleaner as soon as the caller drops the
+    // returned frame (the DupClusters round pattern)
+    val segs = segments(delta).localCheckpoint(true)
     val first = segs.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
     val probed = segs

@@ -50,7 +50,7 @@ object SnapshotMerge {
     * directory survives, so a bare DROP TABLE IF EXISTS leaves an orphan
     * location that fails the next managed-table CREATE/RENAME to that
     * name (same recovery as IncrementalDedup). */
-  private[operators] def dropTableAndLocation(spark: SparkSession,
+  private[graft] def dropTableAndLocation(spark: SparkSession,
       table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -124,33 +124,72 @@ object SnapshotMerge {
     }
   }
 
+  /** Warehouse location of a retained version table (the catalog
+    * lowercases managed-table names — match it). */
+  private def versionLocation(spark: SparkSession, table: String,
+      epoch: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      versionTable(table, epoch).toLowerCase)
+
+  /** Retained epochs visible on DISK under the warehouse directory —
+    * the source of truth a fresh JVM has: in-memory catalogs forget
+    * tables between sessions while the retained `__vN` directories
+    * survive, so catalog-only resolution would misreport history. */
+  private def retainedEpochsOnDisk(spark: SparkSession,
+      table: String): Seq[Long] = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val f = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"${table.toLowerCase}__v"
+    (if (f.exists(wh)) f.listStatus(wh).toSeq else Nil)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption)
+      .sorted
+  }
+
   /** The snapshot as of commit `epoch`: the live table when `epoch` is
-    * current, else the [[mergeCommitRetain]]-retained version. Fails
-    * with a clear message when the version was vacuumed (or never
-    * existed) rather than resolving to something else silently. */
+    * current, else the [[mergeCommitRetain]]-retained version — resolved
+    * through the session catalog when registered, else from its
+    * surviving warehouse directory (a FRESH JVM's in-memory catalog has
+    * forgotten the retained tables; their files have not moved). Fails
+    * with a clear message when the version was vacuumed or never
+    * existed, rather than resolving to something else silently. */
   def readAt(spark: SparkSession, table: String, epoch: Long): DataFrame = {
     val current = TableCommit.epochOf(spark, table)
     if (epoch == current) spark.table(table)
     else if (spark.catalog.tableExists(versionTable(table, epoch)))
       spark.table(versionTable(table, epoch))
-    else throw new IllegalArgumentException(
-      s"no retained snapshot of '$table' at epoch $epoch (current " +
-        s"$current) — vacuumed, or written without mergeCommitRetain")
+    else {
+      val loc = versionLocation(spark, table, epoch)
+      val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) spark.read.parquet(loc.toString)
+      else throw new IllegalArgumentException(
+        s"no retained snapshot of '$table' at epoch $epoch (current " +
+          s"$current): not in this session's catalog and no surviving " +
+          s"warehouse directory at $loc — vacuumed, or written without " +
+          "mergeCommitRetain")
+    }
   }
 
   /** Drop retained versions older than the newest `keepLast` (0 drops
-    * all history; the live table is never touched). Returns the epochs
-    * vacuumed. Readers of a vacuumed epoch fail loudly in [[readAt]]. */
+    * all history; the live table is never touched). Versions are
+    * resolved from the DISK listing (union'd with the catalog), so a
+    * fresh JVM vacuums the same history a long-lived session would.
+    * Returns the epochs vacuumed. Readers of a vacuumed epoch fail
+    * loudly in [[readAt]]. */
   def vacuumVersions(spark: SparkSession, table: String,
       keepLast: Int): Seq[Long] = {
     val current = TableCommit.epochOf(spark, table)
     // the catalog lowercases table names — match it
     val prefix = s"${table.toLowerCase}__v"
-    val retained = spark.catalog.listTables()
+    val inCatalog = spark.catalog.listTables()
       .collect().map(_.name)
       .filter(_.startsWith(prefix))
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
-      .sorted
+    val retained = (inCatalog ++ retainedEpochsOnDisk(spark, table))
+      .distinct.sorted
     val cut = current - keepLast
     val drop = retained.filter(_ < cut)
     drop.foreach(e =>
@@ -178,6 +217,22 @@ object SnapshotMerge {
     val snapPayload = snap.columns.filterNot(c => c == key || c == versionCol)
     val deltaPayload =
       delta.columns.filterNot(c => c == key || c == versionCol || c == opCol)
+    if (!evolve) {
+      // strict mode really is strict: a delta missing a snapshot payload
+      // column must fail loudly, not null-fill it — a winning upsert
+      // would silently erase that column for its key. Extra delta
+      // columns are equally a schema change the caller didn't opt into.
+      val missing = snapPayload.filterNot(delta.columns.contains)
+      val extra = deltaPayload.filterNot(snapPayload.contains)
+      if (missing.nonEmpty || extra.nonEmpty)
+        throw new IllegalArgumentException(
+          s"delta payload does not match snapshot '$table' exactly" +
+            (if (missing.nonEmpty)
+              s"; missing from delta: ${missing.mkString(", ")}" else "") +
+            (if (extra.nonEmpty)
+              s"; not in snapshot: ${extra.mkString(", ")}" else "") +
+            " — pass evolve = true to union schemas")
+    }
     val payload =
       if (!evolve) snapPayload
       else snapPayload ++ deltaPayload.filterNot(snapPayload.contains)

@@ -1596,14 +1596,19 @@ object LlmQueries {
     * whitespace-NORMALIZED text (tokens joined by one space — the only
     * form both engines can address bytes of identically).
     *
-    * Scale shape: the duplicate-window set is d12's one groupBy (keyed
-    * by span, map-side combined); membership is an equi-join back on the
-    * span key (never broadcast — the dup set is corpus-dependent); the
-    * islands pass (lag + running sum) and the segment fold run in
-    * PER-DOCUMENT windows — partitionBy(doc_id), bounded by document
-    * length, no global window anywhere. Char extents come from joining
-    * segments back to the doc's token array once (segments per doc are
-    * few) rather than materializing per-token prefix sums. */
+    * Scale shape: the duplicate-window set is d12's one groupBy, but
+    * keyed by the span's 64-bit rolling FINGERPRINT, not its text —
+    * unlike d12 this query's output never exposes the span, so nothing
+    * forces ~40 B string shuffle keys where 8 B hashes do (the
+    * d15/d19 segment-key precedent; the oracle replays the same
+    * PolyHash so a collision would hit both engines identically);
+    * membership is an equi-join back on the same fingerprint (never
+    * broadcast — the dup set is corpus-dependent); the islands pass
+    * (lag + running sum) and the segment fold run in PER-DOCUMENT
+    * windows — partitionBy(doc_id), bounded by document length, no
+    * global window anywhere. Char extents come from joining segments
+    * back to the doc's token array once (segments per doc are few)
+    * rather than materializing per-token prefix sums. */
   def d14MaxDupSegments(s: SparkSession, dir: String): DataFrame = {
     val Wn = 6
     val toks = docs(s, dir)
@@ -1613,12 +1618,13 @@ object LlmQueries {
       explode(expr(s"transform(sequence(1, size(w) - ${Wn - 1}), " +
         s"i -> struct(i as i, concat_ws(' ', slice(w, i, $Wn)) as span))"))
         .as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.span").as("span"))
-    val dupSpans = spans.groupBy(col("span"))
+      .select(col("doc_id"), col("x.i").as("i"),
+        fingerprint(col("x.span")).as("spfp"))
+    val dupSpans = spans.groupBy(col("spfp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= 2)
-      .select(col("span"))
-    val hits = spans.join(dupSpans, "span")
+      .select(col("spfp"))
+    val hits = spans.join(dupSpans, "spfp")
       .select(col("doc_id"), col("i"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val islands = hits
@@ -1686,21 +1692,6 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** D16: canonical-document selection per near-dup cluster — the KEEP
-    * policy curation applies AFTER d08's clustering: within each
-    * connected component of verified near-dup pairs, keep the
-    * best-quality member and budget everything else for removal. Quality
-    * ranks by an integer lexical-diversity score
-    * (distinct_tokens · 10⁶ div tokens — integer so the argmax is
-    * engine-order-independent), ties to the lowest doc_id. Output is
-    * per-cluster: the keeper, its score, member count, and the
-    * characters removal frees — the dedup savings report.
-    *
-    * Scale shape: labels come from [[graft.operators.DupClusters]]
-    * (O(diameter) min-label rounds, large-star fallback); scoring joins
-    * on doc_id and the cluster rollup is a mergeable min-struct/sum
-    * groupBy on the label — the per-cluster argmax never sorts members,
-    * and nothing windows over the corpus. */
   /** D19: incremental paragraph dedup — d15's unit dedup in the d11
     * production shape: the standing corpus (doc_id % 3 ≠ 0 here) is a
     * materialized DISTINCT-fingerprint snapshot bucketed by fp, and the
@@ -1720,6 +1711,21 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** D16: canonical-document selection per near-dup cluster — the KEEP
+    * policy curation applies AFTER d08's clustering: within each
+    * connected component of verified near-dup pairs, keep the
+    * best-quality member and budget everything else for removal. Quality
+    * ranks by an integer lexical-diversity score
+    * (distinct_tokens · 10⁶ div tokens — integer so the argmax is
+    * engine-order-independent), ties to the lowest doc_id. Output is
+    * per-cluster: the keeper, its score, member count, and the
+    * characters removal frees — the dedup savings report.
+    *
+    * Scale shape: labels come from [[graft.operators.DupClusters]]
+    * (O(diameter) min-label rounds, large-star fallback); scoring joins
+    * on doc_id and the cluster rollup is a mergeable min-struct/sum
+    * groupBy on the label — the per-cluster argmax never sorts members,
+    * and nothing windows over the corpus. */
   def d16ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
     val labels = corpusDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
@@ -2218,7 +2224,8 @@ object LlmQueries {
     val n = e.count()
     val cells = graft.operators.HnswGraph.signCells(
       e, graft.operators.HnswGraph.bitsFor(n))
-    val graph = graft.operators.HnswGraph.build(e, cells, m = 6,
+    val graph = graft.operators.HnswGraph.build(e, cells,
+      m = graft.operators.HnswGraph.DefaultM,
       stride = graft.operators.HnswGraph.strideFor(n))
     // writeSnapshot, not writeBucketed directly: it clears a stale
     // warehouse directory left by a previous JVM whose in-memory catalog
@@ -3000,10 +3007,14 @@ object LlmQueries {
         |ORDER BY q, rk""".stripMargin
 
   /** s11: full replay of the deterministic HNSW chain — coarse cells →
-    * layered adjacency (top-6 by rounded cosine, id ties) → entry at
-    * node 0 → one beam hop per upper layer (ef 4) → two hops at layer 0
-    * (ef 16) → top-5. Every stage id-tie-broken and 6-rounded, so the
-    * graph AND the search path replay exactly. */
+    * seed adjacency (top-6 by rounded cosine, id ties) → NN-descent
+    * refinement rounds → M_max-pruned bidirectional layer-0 graph →
+    * exact landing scan over the bounded layer-1 sample → fixed layer-0
+    * beam hops → top-5. The refinement and hop chains are GENERATED
+    * from [[graft.operators.HnswGraph]]'s constants (DefaultNnRounds,
+    * DefaultEfUpper, DefaultEf0, DefaultHops0), so a schedule change
+    * cannot drift the oracle. Every stage id-tie-broken and 6-rounded,
+    * so the graph AND the search path replay exactly. */
   private val S11Sql: String = {
     def ddot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -3055,60 +3066,83 @@ object LlmQueries {
        |sim0 AS (SELECT src, dst,
        |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) sim
        |  FROM cand0 JOIN n x ON src = x.vec_id JOIN n y ON dst = y.vec_id),
-       |adjf0 AS (SELECT src, dst, sim FROM (
+       |nd_0 AS MATERIALIZED (SELECT src, dst, sim FROM (
        |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim0) t WHERE rk <= 6),
+       |      ORDER BY sim DESC, dst) rk FROM sim0) t
+       |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM}),
+       |${
+         // NN-descent rounds, generated from the same constants the
+         // Scala build uses (HnswGraph.DefaultNnRounds / DefaultM):
+         // symmetrize, expand to neighbors-of-neighbors, rescore, keep
+         // a 2M-wide pool per node. MATERIALIZED throughout — each
+         // round's CTEs are referenced 2-3×, and DuckDB's default
+         // inlining re-expands the chain exponentially (the t18 lesson)
+         (1 to graft.operators.HnswGraph.DefaultNnRounds).map { r =>
+           val prev = s"nd_${r - 1}"
+           s"""sym_$r AS MATERIALIZED (SELECT src, dst FROM $prev
+              |  UNION SELECT dst, src FROM $prev),
+              |cnd_$r AS (SELECT src, dst FROM sym_$r
+              |  UNION SELECT a.src, b.dst FROM sym_$r a JOIN sym_$r b
+              |    ON a.dst = b.src AND a.src <> b.dst),
+              |sc_$r AS (SELECT src, dst,
+              |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) sim
+              |  FROM cnd_$r JOIN n x ON src = x.vec_id
+              |  JOIN n y ON dst = y.vec_id),
+              |nd_$r AS MATERIALIZED (SELECT src, dst, sim FROM (
+              |    SELECT src, dst, sim, ROW_NUMBER() OVER (
+              |      PARTITION BY src ORDER BY sim DESC, dst) rk
+              |    FROM sc_$r) t
+              |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM})"""
+             .stripMargin
+         }.mkString(",\n")
+       },
+       |rkd AS MATERIALIZED (SELECT src, dst, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) rk
+       |  FROM nd_${graft.operators.HnswGraph.DefaultNnRounds}),
+       |crowd AS MATERIALIZED (SELECT a.src, a.dst adst, a.sim sima,
+       |    a.rk, b.dst bdst
+       |  FROM rkd a JOIN rkd b ON a.src = b.src AND b.rk < a.rk),
+       |cov AS MATERIALIZED (SELECT adst, bdst,
+       |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) simab
+       |  FROM (SELECT DISTINCT adst, bdst FROM crowd) p
+       |  JOIN n x ON p.adst = x.vec_id JOIN n y ON p.bdst = y.vec_id),
+       |prn AS (SELECT DISTINCT src, adst dst FROM crowd
+       |  JOIN cov USING (adst, bdst) WHERE simab > sima),
+       |adjf0 AS (SELECT src, dst, sim FROM (
+       |    SELECT r.src, r.dst, r.sim,
+       |      ROW_NUMBER() OVER (PARTITION BY r.src ORDER BY r.rk) rk2
+       |    FROM rkd r LEFT JOIN prn p ON r.src = p.src AND r.dst = p.dst
+       |    WHERE p.src IS NULL) t
+       |  WHERE rk2 <= ${graft.operators.HnswGraph.DefaultM}),
        |adjb0 AS (SELECT src, dst, max(sim) sim FROM (
        |    SELECT src, dst, sim FROM adjf0
        |    UNION ALL SELECT dst, src, sim FROM adjf0) u
        |  GROUP BY src, dst),
-       |adj0 AS (SELECT src, dst FROM (
+       |adj0 AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM adjb0) t WHERE rk <= 12),
+       |      ORDER BY sim DESC, dst) rk FROM adjb0) t
+       |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM}),
        |mem1 AS (SELECT vec_id, v, nrm FROM n, ss
        |         WHERE vec_id % stride = 0),
-       |sim1 AS (SELECT a.vec_id src, b.vec_id dst,
-       |    round(${ddot("a.v", "b.v")} / (a.nrm * b.nrm), 6) sim
-       |  FROM mem1 a JOIN mem1 b ON a.vec_id <> b.vec_id),
-       |adjf1 AS (SELECT src, dst, sim FROM (
-       |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim1) t WHERE rk <= 6),
-       |adjb1 AS (SELECT src, dst, max(sim) sim FROM (
-       |    SELECT src, dst, sim FROM adjf1
-       |    UNION ALL SELECT dst, src, sim FROM adjf1) u
-       |  GROUP BY src, dst),
-       |adj1 AS (SELECT src, dst FROM (
-       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM adjb1) t WHERE rk <= 12),
-       |mem2 AS (SELECT vec_id, v, nrm FROM n, ss
-       |         WHERE vec_id % (stride * 8) = 0),
-       |sim2 AS (SELECT a.vec_id src, b.vec_id dst,
-       |    round(${ddot("a.v", "b.v")} / (a.nrm * b.nrm), 6) sim
-       |  FROM mem2 a JOIN mem2 b ON a.vec_id <> b.vec_id),
-       |adjf2 AS (SELECT src, dst, sim FROM (
-       |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM sim2) t WHERE rk <= 6),
-       |adjb2 AS (SELECT src, dst, max(sim) sim FROM (
-       |    SELECT src, dst, sim FROM adjf2
-       |    UNION ALL SELECT dst, src, sim FROM adjf2) u
-       |  GROUP BY src, dst),
-       |adj2 AS (SELECT src, dst FROM (
-       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY sim DESC, dst) rk FROM adjb2) t WHERE rk <= 12),
        |qs AS (SELECT vec_id q, v qv, nrm qn FROM n WHERE vec_id % 7 = 0),
-       |f0 AS (SELECT q, qv, qn, e0.vec_id node,
-       |    round(${ddot("qv", "e0.v")} / (qn * e0.nrm), 6) sim
-       |  FROM qs JOIN n e0 ON e0.vec_id = 0),
-       |f2 AS ${hop("f0", "adj2", 4)},
-       |f1a AS ${hop("f2", "adj1", 4)},
-       |f1 AS ${hop("f1a", "adj1", 4)},
-       |g1 AS ${hop("f1", "adj0", 16)},
-       |g2a AS ${hop("g1", "adj0", 16)},
-       |g2 AS ${hop("g2a", "adj0", 16)},
+       |f0 AS MATERIALIZED (SELECT q, qv, qn, node, sim FROM (
+       |    SELECT q, qv, qn, node, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, node) rk
+       |    FROM (SELECT q, qv, qn, m.vec_id node,
+       |        round(${ddot("qv", "m.v")} / (qn * m.nrm), 6) sim
+       |      FROM qs CROSS JOIN mem1 m) s0) t
+       |  WHERE rk <= ${graft.operators.HnswGraph.DefaultEfUpper}),
+       |${
+         (1 to graft.operators.HnswGraph.DefaultHops0).map { i =>
+           val from = if (i == 1) "f0" else s"g_${i - 1}"
+           s"g_$i AS MATERIALIZED ${hop(from, "adj0",
+             graft.operators.HnswGraph.DefaultEf0)}"
+         }.mkString(",\n")
+       },
        |res AS (SELECT q, node nb, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, node)
        |         AS INTEGER) rk
-       |  FROM g2 WHERE node <> q)
+       |  FROM g_${graft.operators.HnswGraph.DefaultHops0} WHERE node <> q)
        |SELECT q, rk, nb, sim FROM res WHERE rk <= 5
        |ORDER BY q, rk""".stripMargin
   }
@@ -4178,10 +4212,13 @@ object LlmQueries {
          |wins AS (SELECT doc_id, UNNEST(range(1, len(w) - 4)) AS i, w
          |  FROM words WHERE len(w) >= 6),
          |hits0 AS (SELECT doc_id, i,
-         |    array_to_string(w[i:i+5], ' ') AS span FROM wins),
-         |dup AS (SELECT span FROM hits0
-         |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-         |hits AS (SELECT doc_id, i FROM hits0 JOIN dup USING (span)),
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |        array_to_string(w[i:i+5], ' '), '')]),
+         |      (a,b)->(a*31+b)%1000000007) AS spfp FROM wins),
+         |dup AS (SELECT spfp FROM hits0
+         |  GROUP BY spfp HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, i FROM hits0 JOIN dup USING (spfp)),
          |isl AS (SELECT doc_id, i,
          |    CASE WHEN i > coalesce(lag(i) OVER
          |        (PARTITION BY doc_id ORDER BY i), -100) + 6

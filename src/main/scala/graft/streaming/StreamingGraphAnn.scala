@@ -26,7 +26,8 @@ object StreamingGraphAnn {
     * over `corpus` (vec_id, v, nrm): every micro-batch beam-descends
     * via [[HnswGraph.search]] and hands (q, rk, nb, sim) to `sink`. */
   def serve(queries: DataFrame, corpus: DataFrame, table: String,
-      efUpper: Int = 4, ef0: Int = 16, k: Int = 5)(
+      efUpper: Int = HnswGraph.DefaultEfUpper,
+      ef0: Int = HnswGraph.DefaultEf0, k: Int = 5)(
       sink: DataFrame => Unit): StreamingQuery = {
     val spark = queries.sparkSession
     queries.writeStream

@@ -163,9 +163,20 @@ class SnapshotMergeSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("score"))
 
-      // strict default: an unknown delta column never silently appears
-      val strict = SnapshotMerge.merge(spark, "snapmerge_evo", delta, "k")
-      assert(strict.columns.toSeq === Seq("k", "version", "val"))
+      // strict default: a payload mismatch FAILS LOUDLY in either
+      // direction — an unknown delta column is a schema change the
+      // caller didn't opt into, and a delta MISSING a snapshot column
+      // would null-overwrite it for every key it wins (the r8 advice
+      // finding: sideCols null-filled unconditionally)
+      val eStrict = intercept[IllegalArgumentException] {
+        SnapshotMerge.merge(spark, "snapmerge_evo", delta, "k")
+      }
+      assert(eStrict.getMessage.contains("score"))
+      val eMissing = intercept[IllegalArgumentException] {
+        SnapshotMerge.merge(spark, "snapmerge_evo",
+          Seq((5L, 3L, "U")).toDF("k", "version", "op"), "k")
+      }
+      assert(eMissing.getMessage.contains("val"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS snapmerge_evo")
       spark.sql("DROP TABLE IF EXISTS snapmerge_evo2")

@@ -59,6 +59,33 @@ class TestdataContractSpec extends SparkSpec {
       "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
       "c_mktsegment" -> StringType))
 
+  test("ScaleData generates the same documents/embeddings shape the " +
+      "probes and queries read (generator drift fails here, not in a " +
+      "misread probe)") {
+    import spark.implicits._
+    val docs = spark.range(10).map(i => graft.ScaleData.doc(i))
+    val embs = spark.range(10).map(i => graft.ScaleData.emb(i))
+    // containsNull differs by construction (case-class encoders emit
+    // non-nullable arrays; driver parquet is nullable) — the queries
+    // only depend on the element type, so that is what's pinned
+    def norm(t: DataType): DataType = t match {
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case other => other
+    }
+    Seq("documents" -> docs.toDF(), "embeddings" -> embs.toDF()).foreach {
+      case (table, df) =>
+        contract(table).foreach { case (name, expected) =>
+          val field = df.schema.find(_.name == name)
+          assert(field.isDefined, s"ScaleData $table drifted: lost " +
+            s"'$name' (schema now: ${df.schema.simpleString})")
+          assert(norm(field.get.dataType) == norm(expected),
+            s"ScaleData $table.$name drifted to " +
+              s"${field.get.dataType.simpleString}; the testdata contract " +
+              s"says ${expected.simpleString}")
+        }
+    }
+  }
+
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"tables at $sf carry the columns and types the queries read") {
       contract.foreach { case (table, cols) =>

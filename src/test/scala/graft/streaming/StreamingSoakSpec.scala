@@ -72,11 +72,22 @@ class StreamingSoakSpec extends SparkSpec {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     IvfIndex.write(assigned, "soak_ann_index")
 
-    // --- the four streams ---
+    // --- HNSW graph table for the r9 graph-ANN serving soak ---
+    val gCells = graft.operators.HnswGraph.signCells(
+      eDf, graft.operators.HnswGraph.bitsFor(120))
+    graft.operators.BucketedLayout.writeBucketed(
+      graft.operators.HnswGraph.build(eDf, gCells, m = 6, stride = 8L),
+      "soak_hnsw_graph", "src", 4)
+
+    // --- the seven streams (4 from r8 + graph-ANN serving, segment
+    // dedup admission, CDC time-travel apply from r9) ---
     val memCur = MemoryStream[TimedDoc](spark, 101)
     val memDup = MemoryStream[TimedDoc](spark, 102)
     val memQuo = MemoryStream[QDoc](spark, 103)
     val memAnn = MemoryStream[QueryVec](spark, 104)
+    val memGra = MemoryStream[QueryVec](spark, 105)
+    val memSeg = MemoryStream[TimedDoc](spark, 106)
+    val memCdc = MemoryStream[CdcEvent](spark, 107)
 
     // fresh unique text per (round, slot) for curation; watermark 2 min
     // on a 30 s/round clock → ~4 rounds of fingerprints live at once
@@ -100,11 +111,34 @@ class StreamingSoakSpec extends SparkSpec {
     val qAnn = StreamingAnn.serve(memAnn.toDF(), cents, "soak_ann_index") {
       res => annSeen.addAndGet(res.count())
     }
+    // graph-ANN serving: stateless probe descents against the standing
+    // graph table, every round
+    val graSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val qGra = StreamingGraphAnn.serve(
+        memGra.toDF().select(col("vec_id"), col("v")), eDf,
+        "soak_hnsw_graph") {
+      res => graSeen.addAndGet(res.count())
+    }
+    // segment-dedup admission over a RECYCLING corpus: once every base
+    // doc has been admitted, later rounds admit nothing new — the
+    // snapshot table itself must plateau, the soak's lakehouse analog
+    // of a state-store plateau
+    val segSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val qSeg = StreamingSegmentDedup(spark, "soak_seg_snapshot",
+        memSeg.toDF(), nBuckets = 4) {
+      res => segSeen.addAndGet(res.count())
+    }.start()
+    // CDC apply with per-batch time travel: 12 recycled keys upserted
+    // with advancing versions — table content bounded, epoch history
+    // grows by design and is vacuumed (and spot-read) after the soak
+    val qCdc = StreamingMerge.applyRetain(spark, "soak_cdc_snapshot",
+      memCdc.toDF(), "k", nBuckets = 4).start()
 
     val rounds = 104
     val curRows = ArrayBuffer[Long]()
     val dupRows = ArrayBuffer[Long]()
     val quoRows = ArrayBuffer[Long]()
+    val segRows = ArrayBuffer[Long]()
     val roundMs = ArrayBuffer[Long]()
     try {
       for (r <- 0 until rounds) {
@@ -124,13 +158,26 @@ class StreamingSoakSpec extends SparkSpec {
         memQuo.addData((0 until 6).map(s => QDoc(s"src${s % 2}",
           r * 10L + s, ts(base + s * 500))))
         memAnn.addData(Seq(corpus((r * 7) % 120), corpus((r * 13) % 120)))
+        memGra.addData(Seq(corpus((r * 11) % 120)))
+        memSeg.addData((0 until 2).map { s =>
+          val k = (r * 2 + s) % 24 // same 24 base docs as the dup stream
+          TimedDoc(k.toLong, ts(base + s * 1000),
+            s"segment soak document $k repeats sixteen stable words so " +
+              s"its fingerprints recur verbatim across revisits num$k")
+        })
+        memCdc.addData((0 until 3).map(s => CdcEvent((r * 3 + s) % 12L,
+          r.toLong, "U", s"v$r-$s")))
         qCur.processAllAvailable()
         qDup.processAllAvailable()
         qQuo.processAllAvailable()
         qAnn.processAllAvailable()
+        qGra.processAllAvailable()
+        qSeg.processAllAvailable()
+        qCdc.processAllAvailable()
         curRows += stateRows(qCur)
         dupRows += stateRows(qDup)
         quoRows += stateRows(qQuo)
+        segRows += spark.table("soak_seg_snapshot").count()
         roundMs += (System.nanoTime() - w0) / 1000000L
       }
 
@@ -138,13 +185,34 @@ class StreamingSoakSpec extends SparkSpec {
       assert(qCur.lastProgress.batchId >= 100)
       assert(qDup.lastProgress.batchId >= 100)
       assert(qQuo.lastProgress.batchId >= 100)
+      assert(qGra.lastProgress.batchId >= 100)
+      assert(qSeg.lastProgress.batchId >= 100)
+      assert(qCdc.lastProgress.batchId >= 100)
       assert(annSeen.get() > 0)
+      assert(graSeen.get() > 0)
+      assert(segSeen.get() > 0)
       assert(spark.table("soak_cur").count() > 0)
       assert(spark.table("soak_quo").count() > 0)
 
       assertPlateau("curate", curRows.toSeq)
       assertPlateau("nearDup", dupRows.toSeq)
       assertPlateau("quota", quoRows.toSeq)
+      // the segment snapshot is the plateau's LAKEHOUSE form: recycled
+      // docs admit nothing new once all 24 are seen
+      assertPlateau("segmentSnapshot", segRows.toSeq)
+
+      // CDC epoch history: the soak retained ~one epoch per round;
+      // bounded retention vacuums all but the newest 3, and the live
+      // table still holds exactly the 12 recycled keys
+      val dropped = graft.operators.SnapshotMerge.vacuumVersions(
+        spark, "soak_cdc_snapshot", 3)
+      assert(dropped.size >= 90, s"expected ~100 vacuumed epochs, " +
+        s"got ${dropped.size}")
+      assert(spark.table("soak_cdc_snapshot").count() === 12)
+      val cur = graft.operators.TableCommit.epochOf(
+        spark, "soak_cdc_snapshot")
+      assert(graft.operators.SnapshotMerge.readAt(
+        spark, "soak_cdc_snapshot", cur - 1).count() === 12)
 
       // throughput flat: the late-quarter median round must stay within
       // 3× the early-quarter median (generous for shared-host noise —
@@ -156,7 +224,10 @@ class StreamingSoakSpec extends SparkSpec {
         s"round time grew: early median ${early}ms late median ${late}ms")
     } finally {
       qCur.stop(); qDup.stop(); qQuo.stop(); qAnn.stop()
-      spark.sql("DROP TABLE IF EXISTS soak_ann_index")
+      qGra.stop(); qSeg.stop(); qCdc.stop()
+      Seq("soak_ann_index", "soak_hnsw_graph", "soak_seg_snapshot",
+        "soak_cdc_snapshot")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 }
