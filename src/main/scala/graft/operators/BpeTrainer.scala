@@ -89,57 +89,57 @@ object BpeTrainer {
     require(nMerges >= 1 && batch >= 1)
     val learned = Seq.newBuilder[Merge]
     var rank = 0
-    var words = wordTable(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
-    try {
-      var exhausted = false
-      while (rank < nMerges && !exhausted) {
-        // candidate pool: 4× the batch so the non-interaction filter
-        // has slack (rejected pairs surface again next round anyway)
-        val cands = words
-          .where(size(col("y")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(y) - 1), i -> " +
-              "struct(element_at(y, i) as a, element_at(y, i + 1) as b))"))
-            .as("p"))
-          .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
-          // t18's order: count desc, then the bracketed-pair string —
-          // which for same-count pairs is (a, b) lexicographic
-          .orderBy(col("n").desc, concat(lit("["), col("a"), lit("]["),
-            col("b"), lit("]")).asc)
-          .limit(4 * batch)
-          .collect()
-        if (cands.isEmpty) exhausted = true
-        else {
-          val used = scala.collection.mutable.HashSet[String]()
-          val accepted = Seq.newBuilder[(String, String, String)]
-          var taken = 0
-          val it = cands.iterator
-          while (it.hasNext && taken < batch && rank + taken < nMerges) {
-            val r = it.next()
-            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
-            if (!used(a) && !used(b) && !used(a + b)) {
-              used ++= Seq(a, b, a + b)
-              accepted += ((a, b, a + b))
-              learned += Merge(rank + taken + 1, a, b, a + b, n)
-              taken += 1
-            }
-          }
-          val pairs = accepted.result()
-          if (pairs.isEmpty) exhausted = true
-          else {
-            rank += pairs.size
-            val next = words
-              .select(applyBatch(col("y"), pairs).as("y"), col("cnt"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count()
-            words.unpersist()
-            words = next
+    // eager localCheckpoint, not persist: each round's rewrite nests a
+    // batch-sized map-literal fold over the PREVIOUS round's plan, so
+    // without lineage truncation the expression tree grows by one fold
+    // per round and a vocab-scale run (5k merges ≈ 25 rounds) dies in
+    // driver heap before any executor works. Checkpoint blocks free via
+    // the ContextCleaner when the next round drops its reference (the
+    // DupClusters round pattern).
+    var words = wordTable(docs).localCheckpoint(true)
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // candidate pool: 4× the batch so the non-interaction filter
+      // has slack (rejected pairs surface again next round anyway)
+      val cands = words
+        .where(size(col("y")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(y) - 1), i -> " +
+            "struct(element_at(y, i) as a, element_at(y, i + 1) as b))"))
+          .as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("n"))
+        // t18's order: count desc, then the bracketed-pair string —
+        // which for same-count pairs is (a, b) lexicographic
+        .orderBy(col("n").desc, concat(lit("["), col("a"), lit("]["),
+          col("b"), lit("]")).asc)
+        .limit(4 * batch)
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet[String]()
+        val accepted = Seq.newBuilder[(String, String, String)]
+        var taken = 0
+        val it = cands.iterator
+        while (it.hasNext && taken < batch && rank + taken < nMerges) {
+          val r = it.next()
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            used ++= Seq(a, b, a + b)
+            accepted += ((a, b, a + b))
+            learned += Merge(rank + taken + 1, a, b, a + b, n)
+            taken += 1
           }
         }
+        val pairs = accepted.result()
+        if (pairs.isEmpty) exhausted = true
+        else {
+          rank += pairs.size
+          words = words
+            .select(applyBatch(col("y"), pairs).as("y"), col("cnt"))
+            .localCheckpoint(true)
+        }
       }
-    } finally words.unpersist()
+  }
     learned.result()
   }
 }

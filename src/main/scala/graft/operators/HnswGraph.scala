@@ -18,25 +18,30 @@ import graft.functions.TextFunctions.dot
   *    layer 1 iff v % stride == 0 and layer 2 iff v % 8·stride == 0,
   *    with [[strideFor]] derived from the corpus size so the upper-layer
   *    populations are bounded ABSOLUTELY (~768 / ~96 members at any
-  *    scale) — decidable by every executor without coordination, and the
-  *    entry point (lowest-id top-layer node, id 0) is a constant.
-  *  - EDGES at layer l connect each member to its `m` most-cosine-similar
-  *    same-layer members (ties → lower id). Layer 0 (everyone) draws
-  *    candidates from a [[signCells]] sign-projection bucket equi-join
-  *    whose bucket COUNT grows with the corpus ([[bitsFor]] — target
-  *    ~64 members/bucket), so construction cost is ∝ n·64, never an
-  *    all-pairs product and never the quadratic a FIXED bucket count
-  *    degrades to (the 100 TB shape; upper layers use exact
-  *    within-layer selection over their bounded populations).
-  *  - SEARCH descends entry → layer 2 → 1 → 0 with a fixed beam
-  *    schedule (one hop at layer 2 and two at layer 1 at beam
-  *    `efUpper`, three hops at layer 0 at beam `ef0`): each hop is
-  *    frontier ∪ frontier⋈adjacency
-  *    re-ranked by similarity — a bounded chain of equi-joins on the
-  *    graph table, one plan, no driver iteration. Fixed hop counts make
-  *    the search path deterministic (and SQL-replayable) where true
-  *    HNSW's "until no improvement" is data-dependent; recall floors vs
-  *    the s01 brute answer are pinned in `HnswGraphSpec`.
+  *    scale) — decidable by every executor without coordination.
+  *  - EDGES at layer 0 start from a [[signCells]] sign-projection
+  *    bucket equi-join whose bucket COUNT grows with the corpus
+  *    ([[bitsFor]] — never the quadratic a FIXED bucket count degrades
+  *    to), then converge toward the true kNN graph through NN-descent
+  *    refinement rounds (Dong et al. 2011) and are made NAVIGABLE by
+  *    the RNG-rule diversity prune (the essence of HNSW's
+  *    select-neighbors heuristic: a candidate covered by a
+  *    better-ranked one is redundant — measured at the x10 corpus as
+  *    recall@5 0.25 → 0.91 at the same degree). Upper layers use exact
+  *    within-layer selection over their bounded populations. All
+  *    stages linear in the corpus: n·(2M)² scored pairs per round,
+  *    vectors broadcast (never shuffled per pair).
+  *  - SEARCH lands by scoring EVERY layer-≥1 member exactly (bounded
+  *    ≤ ~768 forever — the true landing optimum, where a fixed entry
+  *    node measured recall collapse at x10) and then runs `hops0`
+  *    fixed beam hops over the layer-0 graph: each hop is
+  *    frontier ∪ frontier⋈adjacency re-ranked by similarity, frontier
+  *    materialized per hop (a lazy chain doubles the plan per hop).
+  *    Fixed hop counts make the search path deterministic (and
+  *    SQL-replayable) where true HNSW's "until no improvement" is
+  *    data-dependent; recall floors vs the s01 brute answer are pinned
+  *    in `HnswGraphSpec`, and the recall/cost curves live in
+  *    BASELINE.md §r9.
   *
   * The graph is (layer, src, dst) rows — the persisted form follows the
   * s10 "index once, probe many" pattern (bucket by src and the search
@@ -109,11 +114,19 @@ object HnswGraph {
     * nrm): (src, dst, sim) with the engine's canonical 6-rounding and
     * id-deterministic downstream tie-breaks. */
   private def scorePairs(e: DataFrame, pairs: DataFrame): DataFrame =
+    // e is BROADCAST on both sides: the pair list is n·(2M)² rows of
+    // two longs while the vector table is ~0.5 KB/row — shuffling
+    // vectors per PAIR measured the x10→x30 probe edge at 8.7×/3×
+    // (spill territory), where the broadcast keeps the shuffle at
+    // pair-id width. At a corpus too big for one broadcast, NN-descent
+    // runs per bucket of a partitioned corpus (candidates are already
+    // cell-local); the single-broadcast form is right whenever an
+    // executor holds the raw vectors
     pairs
-      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
-        col("nrm").as("sn")), "src")
-      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
-        col("nrm").as("dn")), "dst")
+      .join(broadcast(e.select(col("vec_id").as("src"),
+        col("v").as("sv"), col("nrm").as("sn"))), "src")
+      .join(broadcast(e.select(col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn"))), "dst")
       .select(col("src"), col("dst"),
         round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
           .as("sim"))
@@ -176,7 +189,15 @@ object HnswGraph {
     // final round's pool feeds the diversity prune below; keeping only
     // m during refinement throws away exactly the mid-similarity
     // candidates diversity needs)
+    // l0 carries (src, dst, sim, rk) between rounds. The FULL 2M pool
+    // symmetrizes and expands — an expansion from only the top-M edges
+    // was tried and measured recall@5 0.912 → 0.735 at x10 (the
+    // mid-pool candidates are exactly where diversity comes from);
+    // the pair volume is fine once scorePairs broadcasts the vectors
+    // (the x30 superlinearity was vector bytes per pair, not pair
+    // count)
     var l0 = topM2(p0, 2 * m)
+      .withColumn("rk", row_number().over(byS))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     for (_ <- 1 to nnRounds) {
@@ -191,7 +212,6 @@ object HnswGraph {
       l0 = scorePairs(e, cand)
         .withColumn("rk", row_number().over(byS))
         .where(col("rk") <= 2 * m)
-        .drop("rk")
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     }
@@ -205,7 +225,7 @@ object HnswGraph {
     // greedy walk needs to make progress. Measured at the x10 corpus:
     // recall@5 0.25 → 0.9+ at the same degree budget. Cost: pool is
     // 2m per node → ≤ n·(2m)²/2 pair scorings, linear in the corpus.
-    val ranked = l0.withColumn("rk", row_number().over(byS))
+    val ranked = l0 // (src, dst, sim, rk) — rk maintained through rounds
     val crowd = ranked.as("a").join(ranked.as("b"),
         col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
       .select(col("a.src").as("src"), col("a.dst").as("adst"),

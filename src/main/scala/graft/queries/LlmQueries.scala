@@ -2205,14 +2205,17 @@ object LlmQueries {
   /** S11: HNSW-class graph ANN ([[graft.operators.HnswGraph]]) — the
     * hierarchical navigable-graph serving structure next to the
     * quantization family (s02 LSH / s03 IVF / s04 PQ / s07 SQ8):
-    * batch-deterministic layered graph (levels by id arithmetic, edges =
-    * top-m cosine within layer, layer-0 candidates from the s03 coarse
-    * cells) + fixed-schedule beam descent, everything id-tie-broken and
-    * 6-rounded so the DuckDB oracle replays the ENTIRE chain — graph
-    * construction and search path — exactly. The graph persists as a
-    * src-bucketed table first ([[graft.operators.BucketedLayout]], the
-    * s10 "index once, probe many" pattern), and every search hop joins
-    * it bucket-for-bucket. Probe set: every 7th vector; recall floor vs
+    * batch-deterministic layered graph (levels by id arithmetic;
+    * layer-0 edges seeded from sign-projection cells, converged by
+    * NN-descent rounds, made navigable by the RNG diversity prune) +
+    * exact bounded landing scan + fixed-schedule layer-0 beam descent,
+    * everything id-tie-broken and 6-rounded so the DuckDB oracle
+    * replays the ENTIRE chain — graph construction and search path —
+    * exactly (its refinement/hop CTEs are GENERATED from the
+    * HnswGraph constants). The graph persists as a src-bucketed table
+    * first ([[graft.operators.BucketedLayout]], the s10 "index once,
+    * probe many" pattern), and every search hop joins it
+    * bucket-for-bucket. Probe set: every 7th vector; recall floor vs
     * the s01 brute answer pinned in `HnswGraphSpec`. */
   def s11AnnHnsw(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -2237,6 +2240,40 @@ object LlmQueries {
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
     graft.operators.HnswGraph.search(adj, e, qs)
       .orderBy(col("q"), col("rk"))
+  }
+
+  /** S12: graph-tier recall readout — the d10/s05/d18 pattern applied
+    * to s11: per probe query, how many of the exact brute top-5 the
+    * graph descent returned. This turns the "industry-default
+    * high-recall" claim into an ORACLE-CHECKED number every round
+    * (the oracle reuses s11's entire WITH chain, so it replays the
+    * identical graph and search path). The brute tier over s11's probe
+    * set is |Q|·n scored pairs — the s01 accuracy-tier accounting,
+    * documented quadratic-by-design; the graph tier under test is the
+    * linear path. */
+  def s12GraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val ann = s11AnnHnsw(s, dir)
+      .select(col("q").as("aq"), col("nb").as("anb"))
+    val qs = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("sim").desc, col("nb"))
+    val brute = qs.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("q"), col("nb"))
+    brute.join(ann,
+        col("q") === col("aq") && col("nb") === col("anb"), "left")
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("k"), count(col("anb")).as("n_hit"))
+      .select(col("q"), col("k"), col("n_hit"),
+        round(col("n_hit") * lit(1.0d) / col("k"), 4).as("recall_at_k"))
+      .orderBy(col("q"))
   }
 
   /** S04: IVF-PQ ANN — product quantization on top of S03's inverted-file
@@ -2819,6 +2856,7 @@ object LlmQueries {
     "s07_ann_sq8_topk" -> (s07AnnSq8TopK _),
     "s10_ann_indexed" -> (s10AnnIndexed _),
     "s11_ann_hnsw" -> (s11AnnHnsw _),
+    "s12_graph_recall" -> (s12GraphRecall _),
     "a01_array_element_sum" -> (a01ArrayElementSum _),
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -3014,12 +3052,16 @@ object LlmQueries {
     * from [[graft.operators.HnswGraph]]'s constants (DefaultNnRounds,
     * DefaultEfUpper, DefaultEf0, DefaultHops0), so a schedule change
     * cannot drift the oracle. Every stage id-tie-broken and 6-rounded,
-    * so the graph AND the search path replay exactly. */
-  private val S11Sql: String = {
-    def ddot(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), " +
-        "(p,q)->p+q)"
+    * so the graph AND the search path replay exactly. The CHAIN (WITH
+    * body ending in `res`) is shared with the s12 recall readout, so
+    * the recall oracle replays the identical graph + search. */
+  private def ddotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), " +
+      "(p,q)->p+q)"
+
+  private val S11Chain: String = {
+    def ddot(a: String, b: String) = ddotSql(a, b)
     def hop(from: String, adj: String, ef: Int) =
       s"""(SELECT q, qv, qn, node, sim FROM (
          |  SELECT q, qv, qn, node, sim,
@@ -3033,7 +3075,7 @@ object LlmQueries {
          |    JOIN $adj a ON a.src = f.node
          |    JOIN n y ON y.vec_id = a.dst) u) t
          | WHERE rk <= $ef)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
        |           FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${ddot("v", "v")}) nrm FROM e),
        |cnt AS (SELECT count(*) nn FROM e),
@@ -3066,17 +3108,18 @@ object LlmQueries {
        |sim0 AS (SELECT src, dst,
        |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) sim
        |  FROM cand0 JOIN n x ON src = x.vec_id JOIN n y ON dst = y.vec_id),
-       |nd_0 AS MATERIALIZED (SELECT src, dst, sim FROM (
+       |nd_0 AS MATERIALIZED (SELECT src, dst, sim, rk FROM (
        |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst) rk FROM sim0) t
        |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM}),
        |${
          // NN-descent rounds, generated from the same constants the
          // Scala build uses (HnswGraph.DefaultNnRounds / DefaultM):
-         // symmetrize, expand to neighbors-of-neighbors, rescore, keep
-         // a 2M-wide pool per node. MATERIALIZED throughout — each
-         // round's CTEs are referenced 2-3×, and DuckDB's default
-         // inlining re-expands the chain exponentially (the t18 lesson)
+         // symmetrize the FULL 2M pool, expand to
+         // neighbors-of-neighbors, rescore, keep 2M per node.
+         // MATERIALIZED throughout — each round's CTEs are referenced
+         // 2-3×, and DuckDB's default inlining re-expands the chain
+         // exponentially (the t18 lesson)
          (1 to graft.operators.HnswGraph.DefaultNnRounds).map { r =>
            val prev = s"nd_${r - 1}"
            s"""sym_$r AS MATERIALIZED (SELECT src, dst FROM $prev
@@ -3088,7 +3131,7 @@ object LlmQueries {
               |    round(${ddot("x.v", "y.v")} / (x.nrm * y.nrm), 6) sim
               |  FROM cnd_$r JOIN n x ON src = x.vec_id
               |  JOIN n y ON dst = y.vec_id),
-              |nd_$r AS MATERIALIZED (SELECT src, dst, sim FROM (
+              |nd_$r AS MATERIALIZED (SELECT src, dst, sim, rk FROM (
               |    SELECT src, dst, sim, ROW_NUMBER() OVER (
               |      PARTITION BY src ORDER BY sim DESC, dst) rk
               |    FROM sc_$r) t
@@ -3096,8 +3139,7 @@ object LlmQueries {
              .stripMargin
          }.mkString(",\n")
        },
-       |rkd AS MATERIALIZED (SELECT src, dst, sim,
-       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) rk
+       |rkd AS MATERIALIZED (SELECT src, dst, sim, rk
        |  FROM nd_${graft.operators.HnswGraph.DefaultNnRounds}),
        |crowd AS MATERIALIZED (SELECT a.src, a.dst adst, a.sim sima,
        |    a.rk, b.dst bdst
@@ -3142,10 +3184,32 @@ object LlmQueries {
        |res AS (SELECT q, node nb, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, node)
        |         AS INTEGER) rk
-       |  FROM g_${graft.operators.HnswGraph.DefaultHops0} WHERE node <> q)
+       |  FROM g_${graft.operators.HnswGraph.DefaultHops0} WHERE node <> q)"""
+      .stripMargin
+  }
+
+  private val S11Sql: String =
+    s"""WITH $S11Chain
        |SELECT q, rk, nb, sim FROM res WHERE rk <= 5
        |ORDER BY q, rk""".stripMargin
-  }
+
+  /** s12: the graph tier's recall readout — same WITH chain as s11
+    * (identical graph + search path), joined per query against the
+    * exact brute top-5 over the same probe set. */
+  private val S12Sql: String =
+    s"""WITH $S11Chain,
+       |ann AS (SELECT q, nb FROM res WHERE rk <= 5),
+       |bs AS (SELECT qs.q, e2.vec_id nb,
+       |    round(${ddotSql("qs.qv", "e2.v")} / (qs.qn * e2.nrm), 6) sim
+       |  FROM qs JOIN n e2 ON e2.vec_id <> qs.q),
+       |bt AS (SELECT q, nb FROM (
+       |    SELECT q, nb, ROW_NUMBER() OVER (PARTITION BY q
+       |      ORDER BY sim DESC, nb) rk FROM bs) t WHERE rk <= 5)
+       |SELECT bt.q, CAST(count(*) AS BIGINT) k,
+       |  CAST(count(ann.nb) AS BIGINT) n_hit,
+       |  round(count(ann.nb) * 1.0 / count(*), 4) recall_at_k
+       |FROM bt LEFT JOIN ann ON ann.q = bt.q AND ann.nb = bt.nb
+       |GROUP BY bt.q ORDER BY bt.q""".stripMargin
 
   private val S03Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -4515,6 +4579,7 @@ object LlmQueries {
          |ORDER BY q, rk""".stripMargin,
     "s03_ann_ivf_topk" -> S03Sql,
     "s11_ann_hnsw" -> S11Sql,
+    "s12_graph_recall" -> S12Sql,
     "s10_ann_indexed" -> S10Sql,
     "s05_ann_recall" ->
       s"""WITH ex AS ($S01Sql),
