@@ -239,6 +239,30 @@ object Cli {
           df.write.mode("overwrite").parquet(o)
           println(s"copied -> $o")
         }
+      case Some("table-compact") =>
+        // rebuild-compact a standing graph-ANN table from its corpus
+        // (the periodic maintenance HnswGraph.append's scaladoc names:
+        // restores one file per bucket, re-prunes every degree to 2M,
+        // globally re-ranks — and re-links old nodes toward appended
+        // regions). The corpus is the embeddings table of --in; the
+        // derivation (bitsFor/strideFor/DefaultM) mirrors the s11 query
+        // so the compacted table serves the same searches.
+        val sfDir = sfDirOf(opts("in"))
+        val t = opts.getOrElse("table", "s11_hnsw_graph").toLowerCase
+        val e = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            graft.functions.TextFunctions.toDouble(col("embedding"))
+              .as("v"))
+          .withColumn("nrm",
+            sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+        val n = e.count()
+        val cells = graft.operators.HnswGraph.signCells(
+          e, graft.operators.HnswGraph.bitsFor(n))
+        val epoch = graft.operators.HnswGraph.compact(t, e, cells,
+          m = graft.operators.HnswGraph.DefaultM, nBuckets = 8,
+          stride = graft.operators.HnswGraph.strideFor(n))
+        println(s"compacted $t from $n vectors -> epoch $epoch " +
+          s"(${spark.table(t).count()} edges)")
       case Some("table-vacuum") =>
         // bound a table's retained history to the newest --keep versions
         val t = opts("table").toLowerCase
@@ -272,6 +296,7 @@ object Cli {
              |  table-history --table T
              |  table-read    --table T [--epoch E] [--out PARQUET]
              |  table-vacuum  --table T [--keep N]
+             |  table-compact --in SF_DIR [--table T]
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }

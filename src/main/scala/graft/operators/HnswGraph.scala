@@ -391,7 +391,12 @@ object HnswGraph {
       build(e, cells, m = m, stride = stride), stage, "src", nBuckets)
     try {
       TableCommit.commit(spark, table, base) {
-        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        // dropTableAndLocation, not bare DROP: from a FRESH JVM the
+        // in-memory catalog never registered the standing table, so
+        // DROP is a no-op while its warehouse directory survives and
+        // fails the stage rename with LOCATION_ALREADY_EXISTS (caught
+        // by the table-compact CLI smoke test)
+        SnapshotMerge.dropTableAndLocation(spark, table)
         spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
         base + 1
       }

@@ -144,6 +144,76 @@ class HnswGraphSpec extends SparkSpec {
       spark.table(table).select("layer", "src", "dst")).count() === 0)
   }
 
+  test("staleness bound: recall over the grown corpus after 3 appends " +
+      "without rebuild stays above the floor, and compact restores it") {
+    import spark.implicits._
+    val e = embeddings
+    val n = e.count()
+    val stride = HnswGraph.strideFor(n)
+    val m = HnswGraph.DefaultM
+    val table = "hnsw_stale_spec"
+    SnapshotMerge.dropTableAndLocation(spark, table)
+    val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+    BucketedLayout.writeBucketed(
+      HnswGraph.build(e, cells0, m = m, stride = stride), table, "src", 8)
+    // three append batches of near-dup deltas (the re-crawl shape):
+    // each delta is a 1e-4-perturbed copy of a standing vector — the
+    // adversarial case for staleness, because delta reverse edges
+    // crowd exactly the standing nodes queries want
+    var corpus = e
+    for (b <- 0 until 3) {
+      val srcIds = (0 until 15).map(j => (b * 37 + j * 11) % n)
+      val deltaRows = corpus.where(col("vec_id").isin(srcIds.map(Long.box): _*))
+        .where(col("vec_id") < n) // perturb standing originals only
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().map { case (id, v) =>
+          (300000L + b * 1000L + id, v.updated((id % v.size).toInt,
+            v((id % v.size).toInt) + 1e-4 * (b + 1)))
+        }.toSeq
+      val delta = deltaRows.toDF("vec_id", "v")
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+      val union = corpus.unionByName(delta)
+      val cells = HnswGraph.signCells(union, HnswGraph.bitsFor(n))
+      HnswGraph.append(table, corpus, delta, cells, m = m, stride = stride)
+      corpus = union
+    }
+    corpus = corpus.persist()
+    // recall of the ORIGINAL probe set over the GROWN corpus, on the
+    // stale (append-only) graph
+    def recallNow(): Double = {
+      val qs = corpus.where(col("vec_id") % 7 === 0 && col("vec_id") < n)
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val nQ = qs.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+      val brute = qs.join(corpus, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id").as("nb"),
+          round(graft.functions.TextFunctions.dot(col("qv"), col("v")) /
+            (col("qn") * col("nrm")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("q"), col("nb"))
+      val ann = HnswGraph.search(spark.table(table), corpus, qs)
+        .select(col("q"), col("nb"))
+      ann.intersect(brute).count().toDouble / (5.0 * nQ)
+    }
+    val stale = recallNow()
+    info(f"recall after 3 appends, no rebuild: $stale%.3f")
+    // the documented degradation-until-rebuild bound: appended
+    // near-dups legitimately ENTER the true top-5, and the append-only
+    // graph still finds the grown corpus's answers above this floor
+    assert(stale >= 0.8, f"stale-graph recall $stale%.3f below bound")
+    // compact = full rebuild over the grown corpus → full-recall floor
+    val cells = HnswGraph.signCells(corpus, HnswGraph.bitsFor(n))
+    HnswGraph.compact(table, corpus, cells, m = m, nBuckets = 8,
+      stride = stride)
+    val fresh = recallNow()
+    info(f"recall after compact: $fresh%.3f")
+    assert(fresh >= 0.9, f"compacted recall $fresh%.3f below floor")
+    corpus.unpersist()
+  }
+
   test("append: delta vectors join the standing graph and become " +
       "findable; standing edges are untouched") {
     import spark.implicits._

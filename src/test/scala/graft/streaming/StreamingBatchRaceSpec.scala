@@ -24,6 +24,10 @@ class StreamingBatchRaceSpec extends SparkSpec {
     import spark.implicits._
     val T = "race_seg_snapshot"
     graft.operators.SnapshotMerge.dropTableAndLocation(spark, T)
+    // the replay marker + epoch survive in the commits dir across JVMs
+    // — a previous run of this spec would otherwise make the admission
+    // below skip as "already applied batch 0"
+    TableCommit.reset(spark, T)
     val standing = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     SegmentDedup.writeSnapshot(standing, T, nBuckets = 4)
 
@@ -53,6 +57,7 @@ class StreamingBatchRaceSpec extends SparkSpec {
     import spark.implicits._
     val T = "race_hnsw_graph"
     graft.operators.SnapshotMerge.dropTableAndLocation(spark, T)
+    TableCommit.reset(spark, T)
     val e = (0L until 64L).map { i =>
       val v = Seq(1.0 + i % 7, 2.0 + i % 5, 1.0 + i % 3, (i % 11).toDouble)
       (i, v)

@@ -72,6 +72,18 @@ class StreamingSoakSpec extends SparkSpec {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     IvfIndex.write(assigned, "soak_ann_index")
 
+    // replay markers + epochs survive the commits dir across JVMs — a
+    // previous soak would otherwise make every segment/CDC micro-batch
+    // skip as already applied
+    Seq("soak_seg_snapshot", "soak_cdc_snapshot", "soak_hnsw_graph")
+      .foreach { t =>
+        // vacuum BEFORE the epoch reset: it computes its cut from the
+        // old run's epoch, so keepLast = 0 clears that run's history
+        graft.operators.SnapshotMerge.vacuumVersions(spark, t, 0)
+        graft.operators.SnapshotMerge.dropTableAndLocation(spark, t)
+        graft.operators.TableCommit.reset(spark, t)
+      }
+
     // --- HNSW graph table for the r9 graph-ANN serving soak ---
     val gCells = graft.operators.HnswGraph.signCells(
       eDf, graft.operators.HnswGraph.bitsFor(120))
