@@ -482,9 +482,18 @@ object HnswGraph {
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     }
-    // landing: exact scan of the bounded layer-≥1 sample (see scaladoc)
+    // landing: exact scan of the bounded layer-≥1 sample (see
+    // scaladoc). Node 0 is unioned unconditionally: a corpus smaller
+    // than ~2·stride has layer-1 MEMBERS but no layer-1 EDGES, so the
+    // adjacency-derived set alone would be empty and the search would
+    // silently return nothing — with the entry node the layer-0 hops
+    // still cover such tiny graphs (and this matches the SQL oracle,
+    // whose landing scans the stride rule's members directly)
     val l1 = adj.where(col("layer") >= 1)
       .select(col("src")).distinct().withColumnRenamed("src", "node")
+      .unionByName(e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("node")))
+      .distinct()
     val wE = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("node"))
     val entry = score(qs.join(l1))

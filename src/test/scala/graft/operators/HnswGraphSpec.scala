@@ -144,6 +144,35 @@ class HnswGraphSpec extends SparkSpec {
       spark.table(table).select("layer", "src", "dst")).count() === 0)
   }
 
+  test("a corpus too small for layer-1 edges still searches (node-0 " +
+      "landing fallback): exact answers on a 10-vector graph") {
+    import spark.implicits._
+    val e = (0L until 10L).map { i =>
+      (i, Seq(1.0 + i % 3, 2.0 + i % 4, 1.0 + i % 5, i.toDouble))
+    }.toDF("vec_id", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+    val cells = HnswGraph.signCells(e, 3)
+    val adj = HnswGraph.build(e, cells, m = 4, stride = 8L)
+    // stride 8 over 10 ids → layer-1 members {0, 8} but it is the
+    // FALLBACK that must make this non-empty even when upper layers
+    // carry no edges at all
+    val qs = e.select(col("vec_id").as("q"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val res = HnswGraph.search(adj, e, qs, k = 3)
+    assert(res.groupBy(col("q")).count().count() === 10,
+      "every query must get results on a tiny corpus")
+    // 6 hops at beam 64 fully explore a 10-node graph → exact top-3
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("nb"))
+    val brute = qs.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id").as("nb"),
+        round(graft.functions.TextFunctions.dot(col("qv"), col("v")) /
+          (col("qn") * col("nrm")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3).select(col("q"), col("nb"))
+    assert(res.select(col("q"), col("nb")).exceptAll(brute).count() === 0)
+  }
+
   test("staleness bound: recall over the grown corpus after 3 appends " +
       "without rebuild stays above the floor, and compact restores it") {
     import spark.implicits._
