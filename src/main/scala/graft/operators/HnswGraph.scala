@@ -185,17 +185,14 @@ object HnswGraph {
       .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
         col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
         col("b.v").as("dv"), col("b.nrm").as("dn"))
-    // NN-descent rounds carry a candidate pool of 2m per node (the
-    // final round's pool feeds the diversity prune below; keeping only
-    // m during refinement throws away exactly the mid-similarity
-    // candidates diversity needs)
-    // l0 carries (src, dst, sim, rk) between rounds. The FULL 2M pool
-    // symmetrizes and expands — an expansion from only the top-M edges
-    // was tried and measured recall@5 0.912 → 0.735 at x10 (the
-    // mid-pool candidates are exactly where diversity comes from);
-    // the pair volume is fine once scorePairs broadcasts the vectors
-    // (the x30 superlinearity was vector bytes per pair, not pair
-    // count)
+    // l0 carries a 2m-wide (src, dst, sim, rk) pool between rounds —
+    // the final round's pool feeds the diversity prune below, and the
+    // FULL pool symmetrizes and expands: an expansion from only the
+    // top-m edges was tried and measured recall@5 0.912 → 0.735 at
+    // x10 (the mid-pool candidates are exactly where diversity comes
+    // from), while the pair volume is fine once scorePairs broadcasts
+    // the vectors (the x30 superlinearity was vector bytes per pair,
+    // not pair count)
     var l0 = topM2(p0, 2 * m)
       .withColumn("rk", row_number().over(byS))
       .localCheckpoint(true,
