@@ -128,8 +128,17 @@ object Bench {
       }.map { case (name, first, _) =>
         val c0 = calibrate(1)
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
-        val again = (System.nanoTime() - t0) / 1e9
+        // same guard as the timed loop: the rerun fires under exactly the
+        // host stress that produced the outlier, and an uncaught throw here
+        // would abort main before the JSON line — losing the whole sweep.
+        // A failed rerun records NaN (valid JSON via the literal below).
+        val again =
+          try { SparkEntry.queries(name)(spark, sfDir).count();
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] rerun $name FAILED: ${t.getMessage}")
+            Double.NaN
+          }
         val c1 = calibrate(1)
         System.err.println(f"[bench] outlier re-run $name: first=$first%.2f" +
           f" rerun=$again%.2f (calib $c0%.2f/$c1%.2f)")
@@ -220,7 +229,8 @@ object Bench {
       s""""queries_shuffle_bytes":$sh,"queries_spill_bytes":$sp,"""
     }.getOrElse("")
     val rerunJson = reruns.map { case (k, first, again, c0, c1) =>
-      "\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + again +
+      val againJson = if (again.isNaN) "null" else again.toString
+      "\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + againJson +
         ",\"recalib_t1\":[" + c0 + "," + c1 + "]}"
     }.mkString("{", ",", "}")
     val json =

@@ -30,6 +30,28 @@ object TextFunctions {
     * HOF form). */
   def fingerprint(s: Column): Column = graft.plans.PolyHash(s)
 
+  /** Modulus of the SECOND independent rolling hash behind
+    * [[fingerprintWide]] (base 131; a different prime < 1e9 so
+    * acc*131 + codepoint stays far inside a long). */
+  val Mod2 = 999999937L
+
+  /** ~2^60 identity key: fingerprint(s)·Mod2 + polyhash131(s) — two
+    * INDEPENDENT sub-2^30 rolling hashes packed injectively into one
+    * long (max ≈ 1.0e18 < 2^63). Use this wherever a hash REPLACES the
+    * value as the equality key (span/segment dedup keys): a single
+    * mod-1e9+7 hash has a ~2^30 keyspace, and at the billions of spans
+    * a 100 TB corpus yields, birthday collisions would mark unrelated
+    * windows as duplicates — a drift the oracle can never catch because
+    * it replays the same hash. At ~2^60 the expected collisions across
+    * 2^30 distinct keys are ~0.0005. For similarity FEATURES
+    * (shingle/minhash inputs) the narrow [[fingerprint]] stays right:
+    * a rare feature collision perturbs one Jaccard estimate instead of
+    * fabricating a duplicate, and the minhash affine maps need values
+    * in the 1e9+7 field. */
+  def fingerprintWide(s: Column): Column =
+    graft.plans.PolyHash(s) * lit(Mod2) +
+      graft.plans.PolyHash(s, 131L, Mod2)
+
   /** 3-word shingles of a token array (1-based element_at); empty when the
     * document has fewer than 3 tokens. */
   def shingles3(w: Column): Column =

@@ -151,7 +151,7 @@ object HnswGraph {
     * globally), restoring local navigability at ~n·(2m)² scored pairs
     * per round — linear in the corpus, each round one self-join + one
     * window, lineage truncated per round (the DupClusters pattern). */
-  def build(e: DataFrame, cells: DataFrame, m: Int = 6,
+  def build(e: DataFrame, cells: DataFrame, m: Int = DefaultM,
       stride: Long = 8L, nnRounds: Int = DefaultNnRounds): DataFrame = {
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
@@ -295,7 +295,7 @@ object HnswGraph {
     * protocol exception. `cells` must cover corpus ∪ delta (vec_id,
     * cid — 2 rows each). */
   def append(table: String, corpus: DataFrame, delta: DataFrame,
-      cells: DataFrame, m: Int = 6, nBuckets: Int = 8,
+      cells: DataFrame, m: Int = DefaultM, nBuckets: Int = 8,
       stride: Long = 8L): Long = {
     val spark = corpus.sparkSession
     val byS = Window.partitionBy(col("src"))
@@ -378,7 +378,7 @@ object HnswGraph {
     * epoch at call time) — an append landing between that read and this
     * commit fails the CAS, because the rebuilt graph would silently
     * drop the appended vectors. Returns the new epoch. */
-  def compact(table: String, e: DataFrame, cells: DataFrame, m: Int = 6,
+  def compact(table: String, e: DataFrame, cells: DataFrame, m: Int = DefaultM,
       nBuckets: Int = 8, stride: Long = 8L,
       baseEpoch: Option[Long] = None): Long = {
     val spark = e.sparkSession
@@ -386,6 +386,13 @@ object HnswGraph {
     val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
     BucketedLayout.writeBucketed(
       build(e, cells, m = m, stride = stride), stage, "src", nBuckets)
+    // The cleanup catch must distinguish WHERE the failure happened: before
+    // the standing table is dropped (CAS loss, pre-drop failure), the stage
+    // table is garbage — drop it. But once dropTableAndLocation has deleted
+    // the standing table, the stage table is the ONLY surviving copy of the
+    // graph: dropping it on a failed RENAME would destroy both copies and
+    // force a full rebuild from the corpus. Leave it and surface its name.
+    @volatile var standingDropped = false
     try {
       TableCommit.commit(spark, table, base) {
         // dropTableAndLocation, not bare DROP: from a FRESH JVM the
@@ -394,12 +401,19 @@ object HnswGraph {
         // fails the stage rename with LOCATION_ALREADY_EXISTS (caught
         // by the table-compact CLI smoke test)
         SnapshotMerge.dropTableAndLocation(spark, table)
+        standingDropped = true
         spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
         base + 1
       }
-    } catch { case t: Throwable =>
-      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
-      throw t
+    } catch {
+      case t: Throwable if standingDropped =>
+        throw new IllegalStateException(
+          s"compact of `$table` failed AFTER the standing table was " +
+            s"dropped; the rebuilt graph survives as `$stage` — rename it " +
+            s"to `$table` manually (ALTER TABLE RENAME) to recover", t)
+      case t: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+        throw t
     }
   }
 
@@ -453,9 +467,26 @@ object HnswGraph {
     * flat per hop materialized). Frontiers are k·ef-row tables —
     * driver-adjacent scale — and checkpoint blocks free with the
     * ContextCleaner once the result is consumed. */
+  /** Measurement collector for [[search]] (dev/probe only — `HnswSweep`
+    * and the metrics specs): raw counts of candidate rows fed to the
+    * scoring kernel, landing + per hop. Filled by extra count() actions
+    * on the (checkpointed) frontiers, so production searches pass None
+    * and pay nothing. scored-nodes/query is THE sublinearity number the
+    * scale story rests on: a graph index whose per-query scoring
+    * converges to the corpus size is brute force with extra steps. */
+  final class SearchStats {
+    var queries: Long = 0L
+    var landingScored: Long = 0L
+    var hopScored: List[Long] = Nil
+    def scoredPerQuery: Double =
+      if (queries == 0) 0.0
+      else (landingScored + hopScored.sum).toDouble / queries
+  }
+
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,
       efUpper: Int = DefaultEfUpper, ef0: Int = DefaultEf0, k: Int = 5,
-      hops0: Int = DefaultHops0): DataFrame = {
+      hops0: Int = DefaultHops0, stats: Option[SearchStats] = None)
+      : DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     // frontier columns: (q, qv, qn, node, sim)
     def score(cands: DataFrame): DataFrame =
@@ -467,6 +498,7 @@ object HnswGraph {
             .select(col("src").as("node"), col("dst")),
           Seq("node"))
         .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
+      stats.foreach(st => st.hopScored ::= expanded.count())
       val cand = score(expanded)
         .unionByName(frontier
           .select(col("q"), col("qv"), col("qn"), col("node"), col("sim")))
@@ -491,6 +523,10 @@ object HnswGraph {
       .unionByName(e.where(col("vec_id") === 0)
         .select(col("vec_id").as("node")))
       .distinct()
+    stats.foreach { st =>
+      st.queries = qs.count()
+      st.landingScored = st.queries * l1.count()
+    }
     val wE = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("node"))
     val entry = score(qs.join(l1))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{fingerprint, tokens}
+import graft.functions.TextFunctions.{fingerprintWide, tokens}
 
 /** Incremental paragraph-granularity dedup — the d11 production shape at
   * d15's unit: "which 16-token segments of this NEW batch already exist
@@ -32,7 +32,11 @@ object SegmentDedup {
 
   /** (doc_id, seg_idx, seg_ntok, fp): the deterministic non-overlapping
     * 16-token segmentation d15 defines — ONE derivation shared by the
-    * batch query, this operator, and their oracles. */
+    * batch query, this operator, and their oracles. fp is the ~2^60
+    * pair-of-primes key ([[graft.functions.TextFunctions.fingerprintWide]]):
+    * the fingerprint IS the dedup identity here, so a mod-1e9+7 keyspace
+    * would birthday-collide at corpus scale and silently drop unique
+    * segments. */
   def segments(docs: DataFrame): DataFrame = {
     val L = SegTokens
     docs
@@ -45,7 +49,7 @@ object SegmentDedup {
       .select(col("doc_id"), col("seg_idx"),
         least(lit(L), col("n_tok") - col("seg_idx") * L).cast("long")
           .as("seg_ntok"),
-        fingerprint(col("seg")).as("fp"))
+        fingerprintWide(col("seg")).as("fp"))
   }
 
   /** Materialize the standing corpus's distinct segment fingerprints as

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling polynomial string hash as a codegen'd Catalyst expression:
-  * h = fold(chars, 0, (acc, cp) → (acc·31 + codepoint) mod 1e9+7).
+  * h = fold(chars, 0, (acc, cp) → (acc·base + codepoint) mod `mod`).
   *
-  * Exact replacement for the interpreted
+  * At the default (base 31, mod 1e9+7) this is an exact replacement for
+  * the interpreted
   * `aggregate(split(s, ""), 0L, (acc, ch) → (acc*31 + ascii(ch)) % M)`
   * higher-order form (TextFunctions.fingerprint): same fold order, same
   * codepoint values, same modulus — so minhash/simhash/fingerprint results
@@ -19,8 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-character string array and two lambda frames per character; this is
   * one loop over the string, which matters when every 3-word shingle of a
   * 100 TB corpus goes through it.
+  *
+  * The (base, mod) parameters exist for the ~2^60 IDENTITY keys
+  * (TextFunctions.fingerprintWide): two independent sub-2^30 hashes
+  * combined into one key, where a single mod-1e9+7 hash would birthday-
+  * collide at the corpus scales this engine targets. Both moduli must
+  * keep acc·base + cp < 2^63 (any prime < 2^31 does: acc < 2^31,
+  * base ≤ a few hundred → product < 2^40).
   */
-case class PolyHash(child: Expression) extends Expression {
+case class PolyHash(child: Expression, base: Long = 31L,
+    mod: Long = PolyHash.Mod) extends Expression {
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = LongType
@@ -29,7 +38,7 @@ case class PolyHash(child: Expression) extends Expression {
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    PolyHash.hash(v.asInstanceOf[UTF8String].toString)
+    PolyHash.hash(v.asInstanceOf[UTF8String].toString, base, mod)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -41,7 +50,8 @@ case class PolyHash(child: Expression) extends Expression {
         boolean ${ev.isNull} = ${cGen.isNull};
         $javaType ${ev.value} = 0L;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.plans.PolyHash.hash(${cGen.value}.toString());
+          ${ev.value} = graft.plans.PolyHash.hash(
+            ${cGen.value}.toString(), ${base}L, ${mod}L);
         }
       """)
   }
@@ -55,12 +65,12 @@ object PolyHash {
   final val Mod = 1000000007L
 
   /** Codepoint-wise rolling hash (matches split("")+ascii semantics). */
-  def hash(s: String): Long = {
+  def hash(s: String, base: Long = 31L, mod: Long = Mod): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h = (h * 31 + cp) % Mod
+      h = (h * base + cp) % mod
       i += Character.charCount(cp)
     }
     h
@@ -68,4 +78,7 @@ object PolyHash {
 
   def apply(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+
+  def apply(c: Column, base: Long, mod: Long): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c), base, mod))
 }

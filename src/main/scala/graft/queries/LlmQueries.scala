@@ -1563,8 +1563,9 @@ object LlmQueries {
     *
     * Scale shape: one shuffle, the groupBy on the span key, with map-side
     * partial aggregation; no join, no cartesian. At 100 TB the group key
-    * becomes the span's 64-bit rolling fingerprint (8 B vs ~40 B of text,
-    * the same PolyHash the oracle replays) with `min(span)` carried as the
+    * becomes the span's ~2^60 pair-of-primes fingerprint (8 B vs ~40 B of
+    * text — fingerprintWide, the d14 key, replayed by the oracle) with
+    * `min(span)` carried as the
     * representative, and adjacent reported spans are merged into maximal
     * duplicated segments in a per-doc post-pass — neither changes the
     * candidate set this query declares. */
@@ -1597,7 +1598,12 @@ object LlmQueries {
     * form both engines can address bytes of identically).
     *
     * Scale shape: the duplicate-window set is d12's one groupBy, but
-    * keyed by the span's 64-bit rolling FINGERPRINT, not its text —
+    * keyed by the span's ~2^60 pair-of-primes FINGERPRINT
+    * ([[graft.functions.TextFunctions.fingerprintWide]] — two
+    * independent sub-2^30 rolling hashes packed into one long; a single
+    * mod-1e9+7 key would birthday-collide across the billions of spans
+    * a full corpus yields, silently marking unrelated windows as
+    * cross-document duplicates), not its text —
     * unlike d12 this query's output never exposes the span, so nothing
     * forces ~40 B string shuffle keys where 8 B hashes do (the
     * d15/d19 segment-key precedent; the oracle replays the same
@@ -1619,7 +1625,7 @@ object LlmQueries {
         s"i -> struct(i as i, concat_ws(' ', slice(w, i, $Wn)) as span))"))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"),
-        fingerprint(col("x.span")).as("spfp"))
+        fingerprintWide(col("x.span")).as("spfp"))
     val dupSpans = spans.groupBy(col("spfp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= 2)
@@ -4275,11 +4281,14 @@ object LlmQueries {
       s"""WITH $W,
          |wins AS (SELECT doc_id, UNNEST(range(1, len(w) - 4)) AS i, w
          |  FROM words WHERE len(w) >= 6),
+         |hcs AS (SELECT doc_id, i,
+         |    [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |      array_to_string(w[i:i+5], ' '), '')] AS cs FROM wins),
          |hits0 AS (SELECT doc_id, i,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
-         |        array_to_string(w[i:i+5], ' '), '')]),
-         |      (a,b)->(a*31+b)%1000000007) AS spfp FROM wins),
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*31+b)%1000000007) * 999999937 +
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*131+b)%999999937) AS spfp FROM hcs),
          |dup AS (SELECT spfp FROM hits0
          |  GROUP BY spfp HAVING count(DISTINCT doc_id) >= 2),
          |hits AS (SELECT doc_id, i FROM hits0 JOIN dup USING (spfp)),
@@ -4311,13 +4320,17 @@ object LlmQueries {
       s"""WITH $W,
          |segs AS (SELECT doc_id, len(w) n_tok,
          |    UNNEST(range(0, (len(w) + 15) // 16)) j, w FROM words),
+         |segc AS (SELECT doc_id, j, n_tok,
+         |    [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |      array_to_string(w[j*16+1:(j+1)*16], ' '), '')] cs
+         |  FROM segs),
          |seg2 AS (SELECT doc_id, j,
          |    least(16, n_tok - j * 16) ntok,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
-         |        array_to_string(w[j*16+1:(j+1)*16], ' '), '')]),
-         |      (a,b)->(a*31+b)%1000000007) fp
-         |  FROM segs),
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*31+b)%1000000007) * 999999937 +
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*131+b)%999999937) fp
+         |  FROM segc),
          |rn AS (SELECT doc_id, j, ntok,
          |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) rn
          |  FROM seg2)
@@ -4333,13 +4346,17 @@ object LlmQueries {
       s"""WITH $W,
          |segs AS (SELECT doc_id, len(w) n_tok,
          |    UNNEST(range(0, (len(w) + 15) // 16)) j, w FROM words),
+         |segc AS (SELECT doc_id, j, n_tok,
+         |    [CAST(ascii(x) AS BIGINT) for x in string_split(
+         |      array_to_string(w[j*16+1:(j+1)*16], ' '), '')] cs
+         |  FROM segs),
          |seg2 AS (SELECT doc_id, j,
          |    least(16, n_tok - j * 16) ntok,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(x) AS BIGINT) for x in string_split(
-         |        array_to_string(w[j*16+1:(j+1)*16], ' '), '')]),
-         |      (a,b)->(a*31+b)%1000000007) fp
-         |  FROM segs),
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*31+b)%1000000007) * 999999937 +
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |      (a,b)->(a*131+b)%999999937) fp
+         |  FROM segc),
          |snapfp AS (SELECT DISTINCT fp FROM seg2 WHERE doc_id % 3 <> 0),
          |rn AS (SELECT doc_id, j, ntok, fp,
          |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) rnk

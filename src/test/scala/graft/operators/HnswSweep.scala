@@ -6,21 +6,30 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{dot, toDouble}
 
-/** Dev tool: the s11 recall/cost curve over the fixed beam-schedule
-  * knobs (efUpper, ef0, layer-0 hops) at a given corpus scale — the
-  * measurement behind [[HnswGraph.search]]'s defaults (recorded in
-  * BASELINE.md). Run with
-  * `sbt "Test/runMain graft.operators.HnswSweep [sfDir|xN]"`:
-  * builds the graph once, then times each schedule and reports its
-  * recall@5 against the brute-force answer over the same probe set.
+/** Dev tool: the s11 recall/cost curve over the graph degree (m) and the
+  * fixed beam-schedule knobs (efUpper, ef0, layer-0 hops) at a given
+  * corpus scale — the measurement behind [[HnswGraph.search]]'s defaults
+  * (recorded in BASELINE.md). Run with
+  * `sbt "Test/runMain graft.operators.HnswSweep [sfDir|xN] [mList]
+  * [efUpperList ef0List hops0List]"`:
+  * builds the graph once per m, then times each schedule and reports
+  *  - recall@5 against the brute-force answer over the same probe set,
+  *  - scored-nodes/query (landing + every hop expansion — THE number the
+  *    sublinearity claim rests on; [[HnswGraph.SearchStats]]),
+  *  - layer-0 edge recall (what fraction of each probe's brute top-5 is
+  *    a direct out-edge — separates "the graph lacks the edge" from
+  *    "the beam cannot find it").
+  * Parallelism via SPARK_GRAFT_CPUS (default 8, matching earlier rounds'
+  * recorded sweeps).
   */
 object HnswSweep {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "graft.ForkFreeLocalFileSystem")
       .getOrCreate()
@@ -52,12 +61,17 @@ object HnswSweep {
     brute.count()
 
     for (m <- args.lift(1).map(_.split(",").toSeq.map(_.toInt))
-        .getOrElse(Seq(6))) {
+        .getOrElse(Seq(HnswGraph.DefaultM))) {
       val t0 = System.nanoTime()
       val adj = HnswGraph.build(e, cells, m = m, stride = stride).persist()
       val edges = adj.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
-      println(f"m=$m build: $edges edges in $tBuild%.1f s")
+      // edge recall: brute top-5 pairs present as direct layer-0 edges
+      val l0 = adj.where(col("layer") === 0)
+        .select(col("src").as("q"), col("dst").as("nb"))
+      val eHits = brute.intersect(l0).count()
+      println(f"m=$m build: $edges edges in $tBuild%.1f s " +
+        f"edge_recall=${eHits.toDouble / (5.0 * nQ)}%.3f")
       def intsAt(i: Int, dflt: Seq[Int]) =
         args.lift(i).map(_.split(",").toSeq.map(_.toInt)).getOrElse(dflt)
       for {
@@ -66,14 +80,16 @@ object HnswSweep {
         hops0 <- intsAt(4, Seq(3, 4, 5))
       } {
         val t1 = System.nanoTime()
+        val st = new HnswGraph.SearchStats
         val ann = HnswGraph.search(adj, e, qs, efUpper = efUpper,
-          ef0 = ef0, hops0 = hops0)
+          ef0 = ef0, hops0 = hops0, stats = Some(st))
           .select(col("q"), col("nb"))
         val hits = ann.intersect(brute).count()
         val secs = (System.nanoTime() - t1) / 1e9
         val recall = hits.toDouble / (5.0 * nQ)
         println(f"m=$m efUpper=$efUpper ef0=$ef0%2d " +
-          f"hops0=$hops0 recall@5=$recall%.3f search=$secs%.2f s")
+          f"hops0=$hops0 recall@5=$recall%.3f search=$secs%.2f s " +
+          f"scored/q=${st.scoredPerQuery}%.0f")
       }
       adj.unpersist()
     }
