@@ -1145,15 +1145,29 @@ object LlmQueries {
     * t18 trainer emits). The replace-chain form is structurally unable
     * to express this (one plan node per rule); the encode-loop
     * expression is O(word²) per word regardless of vocabulary size,
-    * with the table shipped once per stage as a plan constant. No
-    * 40k-round SQL oracle exists (the chain IS the only SQL encoding),
-    * so the driver records the rows-only check; exactness at scale is
-    * pinned by `BpeCodecSpec` against an independent encoder, and
-    * small-table exactness by t11's unchanged hash oracle. Output
+    * with the table shipped once per stage as a plan constant.
+    *
+    * The query runs on the deterministic doc_id % 11 sample (~1/11 of
+    * the corpus) so it can be HASH-CHECKED: a full 40k-round replace
+    * chain is inexpressible in SQL, but for a bounded word set only the
+    * rules whose OUTPUT occurs as a substring of some corpus word can
+    * ever fire (a merge needs its halves adjacent — i.e. its output
+    * present), so the oracle replays the rank-order replace chain over
+    * exactly that filtered rule subset (22 of 40,000 against this
+    * corpus's 31-word vocabulary, embedded at generation; the oracle
+    * poisons every row to NULL if the corpus ever contains an
+    * out-of-vocabulary word, turning drift into a loud hash mismatch,
+    * never a silent pass). Nothing is lost on the full-corpus side:
+    * per-word encode cost is vocabulary-independent (the codec's whole
+    * point), and t11 already hash-checks the same encode loop over the
+    * ENTIRE corpus at the 35-rule table. Exactness at scale is further
+    * pinned by `BpeCodecSpec` against an independent encoder. Output
     * schema mirrors t11 plus the compression ratio a budget planner
     * reads (chars per token, the number a 50k vocab exists to raise). */
   def t19BpeVocabScale(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    docs(s, dir)
+      .where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
         graft.plans.BpeCount(col("text"), t19Codec).as("n_bpe"),
         round(col("n_chars").cast("double") /
           greatest(graft.plans.BpeCount(col("text"), t19Codec), lit(1L)),
@@ -3260,6 +3274,38 @@ object LlmQueries {
       case (acc, (a, b)) => s"replace($acc, '[$a][$b]', '[$a$b]')"
     }
 
+  /** The corpus word list the t19 oracle's rule filter is derived
+    * against (the driver testdata's full 31-word vocabulary; the
+    * ScaleData generator carries the same list). The oracle embeds an
+    * OOV guard so a corpus that ever grows a word outside this list
+    * poisons every oracle row to NULL — a loud hash mismatch, never a
+    * silently-wrong count. */
+  private val T19Vocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** t19's replace chain at the FULL 40k merge table, made expressible
+    * by sound no-op elimination: a rule can fire on a word only if its
+    * output (left||right) occurs as a substring of that word — the
+    * halves must be ADJACENT — so rules whose output is a substring of
+    * no corpus word are no-ops and drop from the chain without changing
+    * the result (22 of 40,000 survive against [[T19Vocab]]; rank order
+    * preserved, which is what makes the chain equivalent to the encode
+    * loop on a well-formed unique-output table — the same equivalence
+    * t11 hash-proves every round at the 35-rule fixture). */
+  private def t19ChainSql: String = {
+    val subs = T19Vocab.flatMap(w =>
+      for { i <- 0 until w.length; j <- i + 1 to w.length }
+        yield w.substring(i, j)).toSet
+    graft.functions.BpeVocab.synthetic(40000)
+      .filter { case (a, b) => subs.contains(a + b) }
+      .foldLeft("regexp_replace(word, '(.)', '[\\1]', 'g')") {
+        case (acc, (a, b)) => s"replace($acc, '[$a][$b]', '[$a$b]')"
+      }
+  }
+
   /** The t18 oracle, generated: eight unrolled BPE training rounds, each
     * round = pair count → argmax (ties → min pair string) → vocabulary
     * rewrite via the same left-to-right `replace` the engine applies.
@@ -3956,6 +4002,30 @@ object LlmQueries {
          |SELECT doc_id, n_text_tokens, n_images, cost,
          |       strt // 2048 AS seq_id, strt % 2048 AS seq_off
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "t19_bpe_vocab_scale" -> {
+      // the 40k-table chain with no-op rules eliminated (t19ChainSql);
+      // the OOV guard poisons every row on corpus-vocabulary drift
+      val chain = t19ChainSql
+      val vocabList = T19Vocab.map(w => s"'$w'").mkString(", ")
+      s"""WITH $W,
+         |sw AS (SELECT doc_id, w FROM words WHERE doc_id % 11 = 0),
+         |oov AS (SELECT count(*) c FROM (
+         |    SELECT UNNEST(w) word FROM sw) t
+         |  WHERE word NOT IN ($vocabList)),
+         |cnt AS (SELECT doc_id,
+         |    CASE WHEN (SELECT c FROM oov) > 0 THEN NULL ELSE
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(w, word ->
+         |          CAST(len($chain) - len(replace($chain, '[', ''))
+         |               AS BIGINT))),
+         |        (a,b) -> a + b) END AS n_bpe
+         |  FROM sw)
+         |SELECT c.doc_id, c.n_bpe,
+         |  round(CAST(d.n_chars AS DOUBLE) / greatest(c.n_bpe, 1), 4)
+         |    AS chars_per_token
+         |FROM cnt c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "t12_hashed_classifier" ->
       s"""WITH $W,
