@@ -108,7 +108,8 @@ object LlmQueries {
       ("stage_contam_fps", () => contamFps(s, dir).count()),
       ("stage_dsir_feats", () => dsirFeats(s, dir).count()),
       ("stage_source_fps", () => sourceFps(s, dir).count()),
-      ("stage_dup_labels", () => corpusDupLabels(s, dir).count()))
+      ("stage_dup_labels", () => corpusDupLabels(s, dir).count()),
+      ("stage_hnsw_graph", () => corpusHnswGraph(s, dir).count()))
 
   /** (doc_id, f) shingle fingerprints of the full corpus — d02/d03/d04/
     * d08/d10. */
@@ -2238,29 +2239,48 @@ object LlmQueries {
     * bucket-for-bucket. Probe set: every 7th vector; recall floor vs
     * the s01 brute answer pinned in `HnswGraphSpec`. */
   def s11AnnHnsw(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    // one control-plane scalar (the corpus size) sizes the bucket count
-    // and level stride — the d08/t18 documented pattern; a fixed bucket
-    // count measured quadratic in the r8 scale probe, this keeps
-    // per-bucket population ~64 at any corpus size
-    val n = e.count()
-    val cells = graft.operators.HnswGraph.signCells(
-      e, graft.operators.HnswGraph.bitsFor(n))
-    val graph = graft.operators.HnswGraph.build(e, cells,
-      m = graft.operators.HnswGraph.DefaultM,
-      stride = graft.operators.HnswGraph.strideFor(n))
-    // writeSnapshot, not writeBucketed directly: it clears a stale
-    // warehouse directory left by a previous JVM whose in-memory catalog
-    // is gone (the standing-table recovery path every index write needs)
-    graft.operators.SnapshotMerge.writeSnapshot(
-      graph, "s11_hnsw_graph", "src", 8)
-    val adj = s.table("s11_hnsw_graph")
+    val e = hnswEmb(s, dir)
+    val adj = corpusHnswGraph(s, dir)
     val qs = e.where(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
     graft.operators.HnswGraph.search(adj, e, qs)
       .orderBy(col("q"), col("rk"))
   }
+
+  /** (vec_id, v, nrm) — the graph family's embedding frame, one
+    * derivation shared by s11/s12 and the graph stage. */
+  private def hnswEmb(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** The standing s11 graph table, built ONCE per (session, dir) — the
+    * ninth session-cached shared stage: s12's recall readout replays
+    * s11's search, so without the stage a sweep paid the identical
+    * graph CONSTRUCTION twice (~28% of the r9 sweep total was the two
+    * builds). s11 and s12 both consume this; Bench times the build as
+    * its own `stage_hnsw_graph` row, so the query rows measure what a
+    * serving system actually pays per query family — search. */
+  private def corpusHnswGraph(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "hnsw_graph") {
+      val e = hnswEmb(s, dir)
+      // one control-plane scalar (the corpus size) sizes the bucket
+      // count and level stride — the d08/t18 documented pattern; a fixed
+      // bucket count measured quadratic in the r8 scale probe, this
+      // keeps per-bucket population ~64 at any corpus size
+      val n = e.count()
+      val cells = graft.operators.HnswGraph.signCells(
+        e, graft.operators.HnswGraph.bitsFor(n))
+      val graph = graft.operators.HnswGraph.build(e, cells,
+        m = graft.operators.HnswGraph.DefaultM,
+        stride = graft.operators.HnswGraph.strideFor(n))
+      // writeSnapshot, not writeBucketed directly: it clears a stale
+      // warehouse directory left by a previous JVM whose in-memory
+      // catalog is gone (the standing-table recovery path every index
+      // write needs)
+      graft.operators.SnapshotMerge.writeSnapshot(
+        graph, "s11_hnsw_graph", "src", 8)
+      s.table("s11_hnsw_graph")
+    }
 
   /** S12: graph-tier recall readout — the d10/s05/d18 pattern applied
     * to s11: per probe query, how many of the exact brute top-5 the
@@ -2272,8 +2292,7 @@ object LlmQueries {
     * documented quadratic-by-design; the graph tier under test is the
     * linear path. */
   def s12GraphRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val e = hnswEmb(s, dir)
     val ann = s11AnnHnsw(s, dir)
       .select(col("q").as("aq"), col("nb").as("anb"))
     val qs = e.where(col("vec_id") % 7 === 0)
