@@ -245,7 +245,7 @@ object Cli {
         // restores one file per bucket, re-prunes every degree to 2M,
         // globally re-ranks — and re-links old nodes toward appended
         // regions). The corpus is the embeddings table of --in; the
-        // derivation (bitsFor/strideFor/DefaultM) mirrors the s11 query
+        // derivation (bitsFor/strideFor/mFor) mirrors the s11 query
         // so the compacted table serves the same searches.
         val sfDir = sfDirOf(opts("in"))
         val t = opts.getOrElse("table", "s11_hnsw_graph").toLowerCase
@@ -259,7 +259,7 @@ object Cli {
         val cells = graft.operators.HnswGraph.signCells(
           e, graft.operators.HnswGraph.bitsFor(n))
         val epoch = graft.operators.HnswGraph.compact(t, e, cells,
-          m = graft.operators.HnswGraph.DefaultM, nBuckets = 8,
+          m = graft.operators.HnswGraph.mFor(n), nBuckets = 8,
           stride = graft.operators.HnswGraph.strideFor(n))
         println(s"compacted $t from $n vectors -> epoch $epoch " +
           s"(${spark.table(t).count()} edges)")

@@ -433,6 +433,32 @@ object HnswGraph {
     * same schedule. Shared with the SQL oracle generator like the
     * schedule constants below. */
   val DefaultM = 16
+  /** Corpus-scaled graph degree — the SUBLINEAR search-width law. At a
+    * FIXED degree, recall under the fixed beam schedule decays as the
+    * corpus grows (measured on the generated corpus, default schedule:
+    * M=16 → 0.912 @ 20k but 0.786 @ 60k), and recovering it through
+    * beam width alone needs ef0 ∝ n (64 @ 20k → 160 @ 60k — the r9
+    * sweep), which converges the per-query scoring on brute force.
+    * Degree is the lever that does NOT grow with n: the x30 sweep
+    * measured, at the same default schedule over 60k vectors, recall@5
+    * 0.786 / 0.923 / 0.970 at M = 16 / 24 / 32 with scored-nodes/query
+    * 6.8k / 9.6k / 12.2k — per-query cost ∝ M (the hop expansion is
+    * ef0·2M candidates, corpus-independent), so growing M with log n
+    * keeps recall at the floor while scored/query grows O(log n),
+    * sublinear where a beam-width law is linear.
+    *
+    * The rule: M = 16 + [[MPerDoubling]] per corpus DOUBLING above
+    * 16 Ki vectors (integer-only, like [[bitsFor]]/[[strideFor]], so
+    * Spark and the SQL oracle derive the identical M with no float
+    * edge): 500 → 16, 20k → 20, 60k → 24 (measured 0.923), 200k → 32
+    * (x100 sweep, BASELINE.md §r10), 1 B → ~80 — degree, build cost
+    * per node, and scored-nodes/query all O(log n). */
+  val MPerDoubling = 4
+  def mFor(n: Long): Int = {
+    var b = 0
+    while ((16384L << b) < n) b += 1
+    DefaultM + MPerDoubling * b
+  }
   /** NN-descent refinement rounds in [[build]] — shared with the SQL
     * oracle generator like the schedule constants above. */
   val DefaultNnRounds = 3

@@ -2271,7 +2271,7 @@ object LlmQueries {
       val cells = graft.operators.HnswGraph.signCells(
         e, graft.operators.HnswGraph.bitsFor(n))
       val graph = graft.operators.HnswGraph.build(e, cells,
-        m = graft.operators.HnswGraph.DefaultM,
+        m = graft.operators.HnswGraph.mFor(n),
         stride = graft.operators.HnswGraph.strideFor(n))
       // writeSnapshot, not writeBucketed directly: it clears a stale
       // warehouse directory left by a previous JVM whose in-memory
@@ -3123,6 +3123,11 @@ object LlmQueries {
        |ss AS (SELECT min(CAST(power(2, x) AS BIGINT)) stride
        |       FROM range(3, 41) t(x), cnt
        |       WHERE CAST(power(2, x) AS BIGINT) * 768 >= nn),
+       |mm AS (SELECT ${graft.operators.HnswGraph.DefaultM}
+       |         + ${graft.operators.HnswGraph.MPerDoubling}
+       |         * CAST(min(x) AS INTEGER) m
+       |       FROM range(0, 41) t(x), cnt
+       |       WHERE CAST(power(2, x) AS BIGINT) * 16384 >= nn),
        |dirs AS (SELECT vec_id i, v dv FROM e, hh WHERE vec_id < h),
        |bits AS (SELECT n.vec_id, d.i,
        |    CASE WHEN round(${ddot("n.v", "d.dv")}, 6) >= 0
@@ -3150,7 +3155,7 @@ object LlmQueries {
        |nd_0 AS MATERIALIZED (SELECT src, dst, sim, rk FROM (
        |    SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst) rk FROM sim0) t
-       |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM}),
+       |  WHERE rk <= 2 * (SELECT m FROM mm)),
        |${
          // NN-descent rounds, generated from the same constants the
          // Scala build uses (HnswGraph.DefaultNnRounds / DefaultM):
@@ -3174,7 +3179,7 @@ object LlmQueries {
               |    SELECT src, dst, sim, ROW_NUMBER() OVER (
               |      PARTITION BY src ORDER BY sim DESC, dst) rk
               |    FROM sc_$r) t
-              |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM})"""
+              |  WHERE rk <= 2 * (SELECT m FROM mm))"""
              .stripMargin
          }.mkString(",\n")
        },
@@ -3194,7 +3199,7 @@ object LlmQueries {
        |      ROW_NUMBER() OVER (PARTITION BY r.src ORDER BY r.rk) rk2
        |    FROM rkd r LEFT JOIN prn p ON r.src = p.src AND r.dst = p.dst
        |    WHERE p.src IS NULL) t
-       |  WHERE rk2 <= ${graft.operators.HnswGraph.DefaultM}),
+       |  WHERE rk2 <= (SELECT m FROM mm)),
        |adjb0 AS (SELECT src, dst, max(sim) sim FROM (
        |    SELECT src, dst, sim FROM adjf0
        |    UNION ALL SELECT dst, src, sim FROM adjf0) u
@@ -3202,7 +3207,7 @@ object LlmQueries {
        |adj0 AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst) rk FROM adjb0) t
-       |  WHERE rk <= ${2 * graft.operators.HnswGraph.DefaultM}),
+       |  WHERE rk <= 2 * (SELECT m FROM mm)),
        |mem1 AS (SELECT vec_id, v, nrm FROM n, ss
        |         WHERE vec_id % stride = 0),
        |qs AS (SELECT vec_id q, v qv, nrm qn FROM n WHERE vec_id % 7 = 0),

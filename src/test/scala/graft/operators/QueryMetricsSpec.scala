@@ -36,6 +36,55 @@ class QueryMetricsSpec extends SparkSpec {
       s"broadcast join shuffled ${cost.shuffleBytesWritten} bytes")
   }
 
+  test("the graph build shuffles pair ids, never raw vectors") {
+    // the defect class the r9 x30 probe caught in production: NN-descent
+    // shuffling the 512-byte embedding vectors once per CANDIDATE PAIR
+    // (x10→x30 measured 8.7×/3× with spill) instead of broadcasting the
+    // vector table and shuffling two-long pair ids. Byte counters can't
+    // pin this at spec scale — the wide intermediate is sorted by src,
+    // so lz4 crushes the repeated vectors and bytes/record reads
+    // pair-width in BOTH regimes (measured 10.8 vs 14.2 B/rec) — so the
+    // pin is structural: across every job of the eager build, no
+    // shuffle exchange may carry an array<double>/array<float> column
+    // more than a constant number of times per corpus row (the 4n cap
+    // admits the one benign co-shuffle, e ⋈ cells, which moves each
+    // vector ONCE — a pair-width regression moves them n·(2m)² times).
+    // Verified to fire: reverting scorePairs' broadcast() hints puts
+    // `sv`/`v` exchanges in the audit and fails this test.
+    // autoBroadcast is disabled during the measure: at spec scale Spark
+    // would otherwise auto-broadcast the small vector table and mask a
+    // removed hint (the explicit hint still wins over the conf).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+        .select(col("vec_id"),
+          graft.functions.TextFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+        .persist()
+      val n = e.count()
+      val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+      val ((), cost, vectorShuffles) =
+        QueryMetrics.auditVectorShuffles(spark, benignRecordCap = 4 * n) {
+          HnswGraph.build(e, cells, m = HnswGraph.mFor(n),
+            stride = HnswGraph.strideFor(n)).count()
+          ()
+        }
+      e.unpersist()
+      assert(vectorShuffles.isEmpty,
+        "graph build shuffled raw vector columns — scorePairs lost " +
+          s"its broadcast: ${vectorShuffles.mkString("; ")}")
+      assert(cost.shuffleRecordsWritten > 0)
+      val avg = cost.shuffleBytesWritten.toDouble / cost.shuffleRecordsWritten
+      // measured 10.8 B/record across all build jobs with the broadcast
+      // in place — the volume pin on top of the structural one
+      assert(avg < 64.0,
+        f"graph build shuffles $avg%.1f B/record — not pair-id width")
+      assert(cost.spillBytes === 0, "sf0.01 graph build must not spill")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("d03's measured shuffle volume stays far below corpus bytes") {
     graft.queries.LlmQueries.clearStageCache()
     val corpusBytes = graft.Tables.load(spark, sf0001, "documents")
