@@ -194,13 +194,21 @@ object Bench {
     // for the ingest number, and it can differ from bench start
     val calibIngest1 = calibrate(1)
     val calibIngestN = calibrate(cpus.toInt)
-    val runs = (1 to 5).map { r =>
+    val timedBatches = (1 to 5).map { r =>
       val t0 = System.nanoTime()
       val (px, meta) = EpicPipeline.pixelsAndMeta(images, watch)
       px.write.parquet(s"$tmp/epic_pixels_$r")
       meta.write.parquet(s"$tmp/epic_img_metadata_$r")
-      nImages / ((System.nanoTime() - t0) / 1e9)
+      val rate = nImages / ((System.nanoTime() - t0) / 1e9)
+      // per-batch host attribution: two bracketing calib points can't
+      // timestamp WHICH batches an interference window hit (r9 saw
+      // 12.9–90.5 img/s inside one run against clean-looking brackets);
+      // a 1-thread probe right after each timed batch pins what the
+      // host was giving at that batch, the way query rows carry their
+      // re-run evidence
+      (rate, calibrate(1))
     }
+    val runs = timedBatches.map(_._1)
     val imagesPerSec = runs.sorted.apply(runs.size / 2)
     val imagesPerSecMax = runs.max
     val nPx = spark.read.parquet(s"$tmp/epic_pixels_1").count()
@@ -240,6 +248,8 @@ object Bench {
       s""""images_per_sec":$imagesPerSec,""" +
       s""""images_per_sec_max":$imagesPerSecMax,""" +
       s""""images_per_sec_runs":${runs.mkString("[", ",", "]")},""" +
+      s""""ingest_batch_calib_t1":${
+        timedBatches.map(_._2).mkString("[", ",", "]")},""" +
       s""""calib":{"threads":$cpus,"start_t1_sec":$calibStart1,""" +
       s""""start_tn_sec":$calibStartN,"ingest_t1_sec":$calibIngest1,""" +
       s""""ingest_tn_sec":$calibIngestN},""" +

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** WHEN to compact a standing index table — the decision rule between
+  * the append paths ([[HnswGraph.append]], [[IvfIndex.appendCommit]])
+  * and the maintenance they defer to ([[HnswGraph.compact]],
+  * [[IvfIndex.compact]]). Appends are deliberately file-additive (one
+  * file per touched bucket/list per batch — a 100 TB index absorbs a
+  * batch at the cost of the batch), which degrades two things over
+  * time: scan planning (footer reads grow with file count) and, for the
+  * graph, recall (append-only edges are pruned per batch, not
+  * globally — the staleness bound `HnswGraphSpec` pins). The policy
+  * triggers on the layout itself: compact when any one bucket/list
+  * holds more than `maxFiles` parquet files. File count — not append
+  * count — is the right trigger because it is what actually degrades,
+  * it survives process restarts (derived from the table, not from
+  * in-memory counters), and it self-heals: a compact resets every
+  * bucket to one file, so the policy re-arms automatically.
+  *
+  * Cost: one directory listing per decision — O(files), no data read.
+  * The streaming ingest paths ([[graft.streaming.StreamingGraphAnn
+  * .ingest]] / [[graft.streaming.StreamingAnn.ingest]]) evaluate it
+  * once per micro-batch, after their append commits.
+  */
+object CompactPolicy {
+
+  /** Max parquet-file count over the buckets/lists of `table`.
+    * Understands both standing-index layouts: `cid=`-partitioned
+    * directories (the IVF inverted lists) and flat bucketed tables
+    * (the HNSW graph — files carry their bucket id as the `_NNNNN`
+    * suffix Spark's bucketed writer emits). A flat file with no bucket
+    * suffix counts as its own singleton group. */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(loc).toSeq
+    val listDirs = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    if (listDirs.nonEmpty)
+      listDirs.map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).max
+    else {
+      val bucketOf = "_(\\d{5})\\.".r
+      val files = entries.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+      if (files.isEmpty) 0
+      else files.groupBy(f =>
+          bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+        .valuesIterator.map(_.size).max
+    }
+  }
+
+  /** The decision: does `table`'s layout exceed `maxFiles` files in any
+    * one bucket/list? */
+  def shouldCompact(spark: SparkSession, table: String,
+      maxFiles: Int): Boolean =
+    maxFilesPerBucket(spark, table) > maxFiles
+}

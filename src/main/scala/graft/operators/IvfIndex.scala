@@ -47,6 +47,29 @@ object IvfIndex {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Nearest-centroid routing for raw vectors `(vec_id, v)` — the
+    * insert-side assignment shared by the batch writer and the
+    * streaming ingest path ([[graft.streaming.StreamingAnn.ingest]]):
+    * centroids `(cid, cv, cn)` are broadcast (K rows), each vector
+    * scores all K and keeps its best list (6-rounded cosine, ties →
+    * lower cid — the engine's canonical determinism). */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.dot
+    vecs.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
   /** Append a delta batch of assigned vectors into the existing index —
     * incremental maintenance (the vector analog of
     * [[IncrementalDedup]]'s snapshot-delta path): new files land ONLY in

@@ -68,4 +68,36 @@ object StreamingAnn {
         sink(probeBatch(batch, centroids, table, k, nProbe))
       }
       .start()
+
+  /** Ingest a delta-vector stream `(vec_id, v)` into the standing
+    * index: every micro-batch routes its vectors to their nearest
+    * centroid list ([[graft.operators.IvfIndex.assign]]) and appends
+    * under the commit protocol, then applies the AUTO-COMPACT policy:
+    * when any inverted list has accumulated more than
+    * `maxFilesPerList` files ([[graft.operators.CompactPolicy]] —
+    * appends are file-additive by design, and probe latency degrades
+    * with footer reads and split planning, not bytes), the offending
+    * lists are rewritten in place via [[graft.operators.IvfIndex
+    * .compact]] and `onCompact` observes the result. The decision is
+    * derived from the table layout itself (no in-memory counters), so
+    * a restarted stream inherits the true compaction debt. Serving
+    * queries race this safely: list compaction swaps files atomically
+    * per directory ([[graft.operators.ParquetCompactor]]'s crash-safe
+    * protocol) and [[probeBatch]] refreshes its listing per trigger. */
+  def ingest(deltas: DataFrame, centroids: DataFrame, table: String,
+      maxFilesPerList: Int = 8,
+      onCompact: Seq[graft.operators.ParquetCompactor.CompactionResult]
+        => Unit = _ => ()): StreamingQuery = {
+    val spark = deltas.sparkSession
+    deltas.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfIndex.appendCommit(
+          graft.operators.IvfIndex.assign(batch, centroids), table)
+        if (graft.operators.CompactPolicy.shouldCompact(
+            spark, table, maxFilesPerList))
+          onCompact(graft.operators.IvfIndex.compact(spark, table,
+            minFiles = 1))
+      }
+      .start()
+  }
 }

@@ -11,7 +11,10 @@ import graft.functions.TextFunctions.{dot, toDouble}
   * corpus scale — the measurement behind [[HnswGraph.search]]'s defaults
   * (recorded in BASELINE.md). Run with
   * `sbt "Test/runMain graft.operators.HnswSweep [sfDir|xN] [mList]
-  * [efUpperList ef0List hops0List]"`:
+  * [efUpperList ef0List hops0List] [probeStride]"`
+  * (probeStride defaults to 7 — every 7th vector probes; larger
+  * strides cut brute-truth and search cost proportionally for big
+  * generated corpora while keeping thousands of probes):
   * builds the graph once per m, then times each schedule and reports
   *  - recall@5 against the brute-force answer over the same probe set,
   *  - scored-nodes/query (landing + every hop expansion — THE number the
@@ -44,7 +47,8 @@ object HnswSweep {
 
     val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(n)).persist()
     val stride = HnswGraph.strideFor(n)
-    val qs = e.where(col("vec_id") % 7 === 0)
+    val probeStride = args.lift(5).map(_.toInt).getOrElse(7)
+    val qs = e.where(col("vec_id") % probeStride === 0)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
       .persist()
     val nQ = qs.count()

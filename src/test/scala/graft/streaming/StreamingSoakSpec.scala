@@ -51,6 +51,20 @@ class StreamingSoakSpec extends SparkSpec {
       "concurrently; every state store plateaus; throughput stays flat") {
     import spark.implicits._
 
+    // replay markers + epochs survive the commits dir across JVMs — a
+    // previous soak would otherwise make every segment/CDC micro-batch
+    // skip as already applied. MUST run before the index/graph/corpus
+    // writes below (it drops tables AND their locations).
+    Seq("soak_seg_snapshot", "soak_cdc_snapshot", "soak_hnsw_graph",
+      "soak_hnsw_corpus", "soak_ann_index")
+      .foreach { t =>
+        // vacuum BEFORE the epoch reset: it computes its cut from the
+        // old run's epoch, so keepLast = 0 clears that run's history
+        graft.operators.SnapshotMerge.vacuumVersions(spark, t, 0)
+        graft.operators.SnapshotMerge.dropTableAndLocation(spark, t)
+        graft.operators.TableCommit.reset(spark, t)
+      }
+
     // --- ANN index + centroids (the StreamingAnnSpec corpus) ---
     val corpus = (1 to 120).map { i =>
       QueryVec(i.toLong, Array(1.0 + i % 7, 2.0 + i % 5, 1.0 + i % 3,
@@ -72,23 +86,19 @@ class StreamingSoakSpec extends SparkSpec {
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
     IvfIndex.write(assigned, "soak_ann_index")
 
-    // replay markers + epochs survive the commits dir across JVMs — a
-    // previous soak would otherwise make every segment/CDC micro-batch
-    // skip as already applied
-    Seq("soak_seg_snapshot", "soak_cdc_snapshot", "soak_hnsw_graph")
-      .foreach { t =>
-        // vacuum BEFORE the epoch reset: it computes its cut from the
-        // old run's epoch, so keepLast = 0 clears that run's history
-        graft.operators.SnapshotMerge.vacuumVersions(spark, t, 0)
-        graft.operators.SnapshotMerge.dropTableAndLocation(spark, t)
-        graft.operators.TableCommit.reset(spark, t)
-      }
-
-    // --- HNSW graph table for the r9 graph-ANN serving soak ---
+    // --- HNSW graph + corpus tables for the r9 graph-ANN serving soak
+    // and the r10 ingest/auto-compact soak. Built with the engine's
+    // DERIVED constants (bitsFor/strideFor/mFor at the corpus size) —
+    // the contract StreamingGraphAnn.ingest re-derives its append
+    // parameters from.
+    eDf.write.format("parquet").saveAsTable("soak_hnsw_corpus")
+    val gM = graft.operators.HnswGraph.mFor(120)
+    val gStride = graft.operators.HnswGraph.strideFor(120)
     val gCells = graft.operators.HnswGraph.signCells(
       eDf, graft.operators.HnswGraph.bitsFor(120))
     graft.operators.BucketedLayout.writeBucketed(
-      graft.operators.HnswGraph.build(eDf, gCells, m = 6, stride = 8L),
+      graft.operators.HnswGraph.build(eDf, gCells, m = gM,
+        stride = gStride),
       "soak_hnsw_graph", "src", 4)
 
     // --- the seven streams (4 from r8 + graph-ANN serving, segment
@@ -100,6 +110,8 @@ class StreamingSoakSpec extends SparkSpec {
     val memGra = MemoryStream[QueryVec](spark, 105)
     val memSeg = MemoryStream[TimedDoc](spark, 106)
     val memCdc = MemoryStream[CdcEvent](spark, 107)
+    val memIng = MemoryStream[QueryVec](spark, 108)
+    val memIvf = MemoryStream[QueryVec](spark, 109)
 
     // fresh unique text per (round, slot) for curation; watermark 2 min
     // on a 30 s/round clock → ~4 rounds of fingerprints live at once
@@ -124,13 +136,39 @@ class StreamingSoakSpec extends SparkSpec {
       res => annSeen.addAndGet(res.count())
     }
     // graph-ANN serving: stateless probe descents against the standing
-    // graph table, every round
+    // graph table, every round — over the LIVE corpus table, so results
+    // keep covering vectors the ingest stream appends mid-soak
     val graSeen = new java.util.concurrent.atomic.AtomicLong(0)
     val qGra = StreamingGraphAnn.serve(
-        memGra.toDF().select(col("vec_id"), col("v")), eDf,
-        "soak_hnsw_graph") {
+        memGra.toDF().select(col("vec_id"), col("v")),
+        spark.table("soak_hnsw_corpus"), "soak_hnsw_graph") {
       res => graSeen.addAndGet(res.count())
     }
+    // r10 ingest/auto-compact: delta vectors stream INTO the standing
+    // graph + corpus; with maxFilesPerBucket = 3 and one file per
+    // touched bucket per append, the policy must fire mid-soak and
+    // rebuild-compact the graph the qGra stream is concurrently
+    // serving (the drop+rename swap the serve path retries across)
+    val graphCompacts = new java.util.concurrent.atomic.AtomicLong(0)
+    val filesAfterCompact = new java.util.concurrent.atomic.AtomicLong(-1)
+    val servedAtCompact = new java.util.concurrent.atomic.AtomicLong(-1)
+    val qIng = StreamingGraphAnn.ingest(
+        memIng.toDF().select(col("vec_id"), col("v")),
+        "soak_hnsw_corpus", "soak_hnsw_graph", nBuckets = 4,
+        maxFilesPerBucket = 3, onCompact = { _ =>
+      graphCompacts.incrementAndGet()
+      filesAfterCompact.set(graft.operators.CompactPolicy
+        .maxFilesPerBucket(spark, "soak_hnsw_graph"))
+      servedAtCompact.compareAndSet(-1, graSeen.get())
+    })
+    // same policy over the IVF index the qAnn stream serves: list
+    // compaction (ParquetCompactor in-place swap), not a rebuild
+    val ivfCompacts = new java.util.concurrent.atomic.AtomicLong(0)
+    val qIvf = StreamingAnn.ingest(
+        memIvf.toDF().select(col("vec_id"), col("v")), cents,
+        "soak_ann_index", maxFilesPerList = 3, onCompact = { rs =>
+      if (rs.exists(!_.skipped)) ivfCompacts.incrementAndGet()
+    })
     // segment-dedup admission over a RECYCLING corpus: once every base
     // doc has been admitted, later rounds admit nothing new — the
     // snapshot table itself must plateau, the soak's lakehouse analog
@@ -179,6 +217,23 @@ class StreamingSoakSpec extends SparkSpec {
         })
         memCdc.addData((0 until 3).map(s => CdcEvent((r * 3 + s) % 12L,
           r.toLong, "U", s"v$r-$s")))
+        if (r % 6 == 0) {
+          // ingest cadence: every 6th round, two near-copies of
+          // standing vectors at fresh ODD ids (never ≡ 0 mod stride →
+          // always layer 0) into the graph, two fresh vectors into the
+          // IVF index — 17 appends over the soak, files-per-bucket
+          // crosses 3 repeatedly
+          memIng.addData((0 until 2).map { s =>
+            val src = corpus((r * 5 + s * 3) % 120)
+            QueryVec(10001L + r * 10 + s * 2,
+              src.v.updated(0, src.v(0) + 1e-4 * (r + 1)))
+          })
+          memIvf.addData((0 until 2).map { s =>
+            val src = corpus((r * 7 + s * 5) % 120)
+            QueryVec(20001L + r * 10 + s,
+              src.v.updated(1, src.v(1) + 1e-4 * (r + 1)))
+          })
+        }
         qCur.processAllAvailable()
         qDup.processAllAvailable()
         qQuo.processAllAvailable()
@@ -186,6 +241,8 @@ class StreamingSoakSpec extends SparkSpec {
         qGra.processAllAvailable()
         qSeg.processAllAvailable()
         qCdc.processAllAvailable()
+        qIng.processAllAvailable()
+        qIvf.processAllAvailable()
         curRows += stateRows(qCur)
         dupRows += stateRows(qDup)
         quoRows += stateRows(qQuo)
@@ -200,9 +257,44 @@ class StreamingSoakSpec extends SparkSpec {
       assert(qGra.lastProgress.batchId >= 100)
       assert(qSeg.lastProgress.batchId >= 100)
       assert(qCdc.lastProgress.batchId >= 100)
+      assert(qIng.lastProgress.batchId >= 10)
+      assert(qIvf.lastProgress.batchId >= 10)
       assert(annSeen.get() > 0)
       assert(graSeen.get() > 0)
       assert(segSeen.get() > 0)
+
+      // --- r10 auto-compact policy: the threshold was crossed and
+      // compaction fired MID-STREAM, on both standing indexes, while
+      // their serving streams kept answering ---
+      assert(graphCompacts.get() >= 1,
+        "graph auto-compact never fired: files-per-bucket policy dead")
+      assert(ivfCompacts.get() >= 1,
+        "IVF auto-compact never fired: files-per-list policy dead")
+      assert(filesAfterCompact.get() === 1,
+        s"compact must restore one file per bucket, " +
+          s"saw ${filesAfterCompact.get()}")
+      // serving on BOTH sides of the swap: answers flowed before the
+      // first compact and kept flowing after it
+      assert(servedAtCompact.get() > 0,
+        "no graph queries served before the first compact")
+      assert(graSeen.get() > servedAtCompact.get(),
+        "no graph queries served after the compact swap")
+      // the grown corpus table holds every ingested delta
+      val nIngested = (0 until rounds).count(_ % 6 == 0) * 2
+      assert(spark.table("soak_hnsw_corpus").count() === 120L + nIngested)
+      // findability across the swap: querying AT an ingested delta's
+      // source vector surfaces the delta on the compacted graph
+      val lastIngRound = (0 until rounds).filter(_ % 6 == 0).max
+      val probeSrc = corpus((lastIngRound * 5) % 120)
+      val probe = Seq((probeSrc.vec_id, probeSrc.v))
+        .toDF("q", "qv")
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      val found = graft.operators.HnswGraph.search(
+          spark.table("soak_hnsw_graph"),
+          spark.table("soak_hnsw_corpus"), probe)
+        .select(col("nb")).as[Long].collect().toSet
+      assert(found.contains(10001L + lastIngRound * 10),
+        s"ingested near-copy of ${probeSrc.vec_id} not findable: $found")
       assert(spark.table("soak_cur").count() > 0)
       assert(spark.table("soak_quo").count() > 0)
 
@@ -236,9 +328,9 @@ class StreamingSoakSpec extends SparkSpec {
         s"round time grew: early median ${early}ms late median ${late}ms")
     } finally {
       qCur.stop(); qDup.stop(); qQuo.stop(); qAnn.stop()
-      qGra.stop(); qSeg.stop(); qCdc.stop()
-      Seq("soak_ann_index", "soak_hnsw_graph", "soak_seg_snapshot",
-        "soak_cdc_snapshot")
+      qGra.stop(); qSeg.stop(); qCdc.stop(); qIng.stop(); qIvf.stop()
+      Seq("soak_ann_index", "soak_hnsw_graph", "soak_hnsw_corpus",
+        "soak_seg_snapshot", "soak_cdc_snapshot")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
