@@ -249,6 +249,21 @@ object Cli {
         // so the compacted table serves the same searches.
         val sfDir = sfDirOf(opts("in"))
         val t = opts.getOrElse("table", "s11_hnsw_graph").toLowerCase
+        // --max-files N: compact ONLY when the CompactPolicy threshold
+        // is exceeded (more than N files in some bucket) — the
+        // scriptable form of the streaming ingest paths' auto-compact,
+        // for cron-style maintenance of a standing table
+        val needed = opts.get("max-files").forall { mf =>
+          val have = graft.operators.CompactPolicy
+            .maxFilesPerBucket(spark, t)
+          val over = have > mf.toInt
+          println(if (over)
+            s"$t exceeds policy ($have > $mf files/bucket)"
+          else s"$t within policy ($have <= $mf files/bucket); " +
+            "nothing to do")
+          over
+        }
+        if (needed) {
         val e = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"),
             graft.functions.TextFunctions.toDouble(col("embedding"))
@@ -263,6 +278,7 @@ object Cli {
           stride = graft.operators.HnswGraph.strideFor(n))
         println(s"compacted $t from $n vectors -> epoch $epoch " +
           s"(${spark.table(t).count()} edges)")
+        }
       case Some("table-vacuum") =>
         // bound a table's retained history to the newest --keep versions
         val t = opts("table").toLowerCase
@@ -296,7 +312,8 @@ object Cli {
              |  table-history --table T
              |  table-read    --table T [--epoch E] [--out PARQUET]
              |  table-vacuum  --table T [--keep N]
-             |  table-compact --in SF_DIR [--table T]
+             |  table-compact --in SF_DIR [--table T] [--max-files N]
+             |            (--max-files: only when some bucket exceeds N)
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }

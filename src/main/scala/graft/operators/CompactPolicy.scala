@@ -32,9 +32,16 @@ object CompactPolicy {
     * suffix Spark's bucketed writer emits). A flat file with no bucket
     * suffix counts as its own singleton group. */
   def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    // fresh-JVM path (the CLI): an in-memory catalog that never
+    // registered the table still has its warehouse directory — resolve
+    // the standing location directly, like table-read does
+    val loc = if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    else new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(loc).toSeq
     val listDirs = entries.filter(s =>

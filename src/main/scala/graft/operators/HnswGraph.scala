@@ -450,10 +450,15 @@ object HnswGraph {
     * The rule: M = 16 + [[MPerDoubling]] per corpus DOUBLING above
     * 16 Ki vectors (integer-only, like [[bitsFor]]/[[strideFor]], so
     * Spark and the SQL oracle derive the identical M with no float
-    * edge): 500 → 16, 20k → 20, 60k → 24 (measured 0.923), 200k → 32
-    * (x100 sweep, BASELINE.md §r10), 1 B → ~80 — degree, build cost
-    * per node, and scored-nodes/query all O(log n). */
-  val MPerDoubling = 4
+    * edge): 500 → 16, 20k → 21, 60k → 26, 200k → 36, 1 B → ~96 —
+    * degree, build cost per node, and scored-nodes/query all O(log n).
+    * The step is 5, not 4, because the x100 sweep measured the 0.9
+    * floor BETWEEN the two laws at 200k vectors: M=32 (step 4) →
+    * recall@5 0.891 / 12.6k scored per query, M=36 (step 5) → 0.918 /
+    * 14.0k (BASELINE.md §r10; brute at that size scores 200k, so the
+    * search still touches only ~7% of the corpus and the fraction
+    * SHRINKS as n grows). */
+  val MPerDoubling = 5
   def mFor(n: Long): Int = {
     var b = 0
     while ((16384L << b) < n) b += 1
