@@ -98,6 +98,15 @@ object Cli {
         "graft.ForkFreeLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args)
+    if (args.headOption.exists(_ != "serve")) spark.stop()
+  }
+
+  /** The command dispatch, against a CALLER-OWNED session — what specs
+    * drive (`main` would stop the suite-shared SparkContext out from
+    * under every later suite; the lingering cached plans then NPE in
+    * CacheManager cleanup long after the culprit ran). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val opts = args.drop(1).sliding(2, 2)
       .collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }
       .toMap
@@ -317,6 +326,5 @@ object Cli {
              |(got: ${other.getOrElse("nothing")})""".stripMargin)
         if (other.isDefined) sys.exit(2)
     }
-    if (args.headOption.exists(_ != "serve")) spark.stop()
   }
 }

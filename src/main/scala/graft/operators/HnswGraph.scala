@@ -118,10 +118,12 @@ object HnswGraph {
     // two longs while the vector table is ~0.5 KB/row — shuffling
     // vectors per PAIR measured the x10→x30 probe edge at 8.7×/3×
     // (spill territory), where the broadcast keeps the shuffle at
-    // pair-id width. At a corpus too big for one broadcast, NN-descent
-    // runs per bucket of a partitioned corpus (candidates are already
-    // cell-local); the single-broadcast form is right whenever an
-    // executor holds the raw vectors
+    // pair-id width. The broadcast is also this form's CEILING: raw
+    // 64-dim float64 rows cost ~0.5 KB, so the table outgrows a
+    // multi-GB executor broadcast around ~10⁷ vectors — past that,
+    // [[build]]'s `sq8 = true` broadcasts 8× smaller byte codes
+    // ([[sq8Codes]]), and the next rung is s04's PQ codes (8–16 B/row,
+    // multi-billion) under the same pairs-stay-two-longs shape
     pairs
       .join(broadcast(e.select(col("vec_id").as("src"),
         col("v").as("sv"), col("nrm").as("sn"))), "src")
@@ -130,6 +132,70 @@ object HnswGraph {
       .select(col("src"), col("dst"),
         round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
           .as("sim"))
+
+  /** SQ8 byte-code table for [[build]]'s pair scoring — the
+    * broadcast-ceiling escape. Unit vectors floor-quantize per
+    * dimension against corpus [mn, mx] bounds (the FAISS
+    * ScalarQuantizer shape s07 uses as its storage tier), stored as
+    * `array<tinyint>`: ~64 B/row against ~512 B of raw doubles, so the
+    * broadcast that caps [[scorePairs]] reaches an ~8× larger corpus
+    * before executor memory does. The bounds are inlined as plan
+    * LITERALS (2·dims doubles — driver-trivial at any corpus size), so
+    * the broadcast ships only vec_id + bytes. Quantized scoring makes
+    * edge SELECTION approximate (~1 LSB per dimension); the stored
+    * graph is ids only and [[search]] re-scores with exact vectors, so
+    * the only effect is which edges exist — `HnswSq8BuildSpec`
+    * measures the recall cost and pins determinism. */
+  final case class Sq8(codes: DataFrame, mn: Array[Double],
+      mx: Array[Double])
+
+  def sq8Codes(e: DataFrame): Sq8 = {
+    val unit = e.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("u"))
+    val r = unit.select(posexplode(col("u")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+    val mn = r.map(_.getDouble(1))
+    val mx = r.map(_.getDouble(2))
+    val coded = unit
+      .withColumn("mnb", array(mn.toIndexedSeq.map(lit): _*))
+      .withColumn("mxb", array(mx.toIndexedSeq.map(lit): _*))
+      .withColumn("code", expr(
+        """transform(sequence(1, size(u)), i ->
+          |  cast(CASE WHEN element_at(mxb, i) > element_at(mnb, i)
+          |       THEN cast(floor((element_at(u, i) - element_at(mnb, i))
+          |                       * 255.0D
+          |                       / (element_at(mxb, i)
+          |                          - element_at(mnb, i)))
+          |            as bigint) - 128L
+          |       ELSE -128L END as tinyint))""".stripMargin))
+      .select(col("vec_id"), col("code"))
+    Sq8(coded, mn, mx)
+  }
+
+  /** [[scorePairs]] over byte codes: identical join shape (pairs stay
+    * two longs across the shuffle; the CODE table broadcasts), sims on
+    * per-pair dequantized units — cosine directly, the normalization
+    * already happened before quantizing. */
+  private def scorePairsSq8(q: Sq8, pairs: DataFrame): DataFrame = {
+    def dq(c: String) =
+      s"""transform(sequence(1, size($c)), i ->
+         |  element_at(mnb, i)
+         |  + (cast(element_at($c, i) as double) + 128.0D)
+         |    * (element_at(mxb, i) - element_at(mnb, i)) / 255.0D)"""
+        .stripMargin
+    pairs
+      .join(broadcast(q.codes.select(col("vec_id").as("src"),
+        col("code").as("sc"))), "src")
+      .join(broadcast(q.codes.select(col("vec_id").as("dst"),
+        col("code").as("dc"))), "dst")
+      .withColumn("mnb", array(q.mn.toIndexedSeq.map(lit): _*))
+      .withColumn("mxb", array(q.mx.toIndexedSeq.map(lit): _*))
+      .select(col("src"), col("dst"),
+        round(dot(expr(dq("sc")), expr(dq("dc"))), 6).as("sim"))
+  }
 
   /** Build the layered adjacency (layer, src, dst) for embeddings
     * `e` = (vec_id, v, nrm). `cells` = (vec_id, cid) with up to 2 rows
@@ -150,9 +216,19 @@ object HnswGraph {
     * connect Hamming-adjacent buckets, so candidates propagate
     * globally), restoring local navigability at ~n·(2m)² scored pairs
     * per round — linear in the corpus, each round one self-join + one
-    * window, lineage truncated per round (the DupClusters pattern). */
+    * window, lineage truncated per round (the DupClusters pattern).
+    *
+    * `sq8 = true` swaps the refinement/prune scorer for the byte-code
+    * form ([[sq8Codes]]/[[scorePairsSq8]]): same dataflow, the
+    * broadcast ships ~64 B/vector instead of ~512 B — the path for a
+    * corpus whose raw vector table outgrows executor memory. Default
+    * false: s11/s12's oracle replays exact scoring. */
   def build(e: DataFrame, cells: DataFrame, m: Int = DefaultM,
-      stride: Long = 8L, nnRounds: Int = DefaultNnRounds): DataFrame = {
+      stride: Long = 8L, nnRounds: Int = DefaultNnRounds,
+      sq8: Boolean = false): DataFrame = {
+    val scorer: DataFrame => DataFrame =
+      if (sq8) { val q = sq8Codes(e); p => scorePairsSq8(q, p) }
+      else p => scorePairs(e, p)
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     def topM(pairs: DataFrame, layer: Int): DataFrame =
@@ -206,7 +282,7 @@ object HnswGraph {
             col("ab.src") =!= col("bc.dst"))
         .select(col("ab.src").as("src"), col("bc.dst").as("dst"))
       val cand = sym.unionByName(non).distinct()
-      l0 = scorePairs(e, cand)
+      l0 = scorer(cand)
         .withColumn("rk", row_number().over(byS))
         .where(col("rk") <= 2 * m)
         .localCheckpoint(true,
@@ -227,7 +303,7 @@ object HnswGraph {
         col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
       .select(col("a.src").as("src"), col("a.dst").as("adst"),
         col("a.sim").as("sima"), col("b.dst").as("bdst"))
-    val covered = scorePairs(e, crowd
+    val covered = scorer(crowd
         .select(col("adst").as("src"), col("bdst").as("dst")).distinct())
       .withColumnRenamed("sim", "simab")
       .withColumnRenamed("src", "adst")

@@ -64,14 +64,18 @@ class CompactPolicySpec extends SparkSpec {
       HnswGraph.build(e, cells, m = HnswGraph.mFor(n),
         stride = HnswGraph.strideFor(n)), t, "src", 8)
     val epoch0 = TableCommit.epochOf(spark, t)
-    // within policy → the CLI must not touch the table
-    graft.Cli.main(Array("table-compact", "--in", "/root/testdata/sf0.001",
-      "--table", t, "--max-files", "99"))
+    // within policy → the CLI must not touch the table. Cli.run, not
+    // Cli.main: main owns (and STOPS) its session, which would kill
+    // the suite-shared SparkContext for every later suite
+    graft.Cli.run(spark, Array("table-compact",
+      "--in", "/root/testdata/sf0.001", "--table", t,
+      "--max-files", "99"))
     assert(TableCommit.epochOf(spark, t) === epoch0)
     assert(CompactPolicy.maxFilesPerBucket(spark, t) === 1)
     // exceeding (any bucket has ≥ 1 > 0 files) → rebuild commits an epoch
-    graft.Cli.main(Array("table-compact", "--in", "/root/testdata/sf0.001",
-      "--table", t, "--max-files", "0"))
+    graft.Cli.run(spark, Array("table-compact",
+      "--in", "/root/testdata/sf0.001", "--table", t,
+      "--max-files", "0"))
     assert(TableCommit.epochOf(spark, t) === epoch0 + 1)
     assert(CompactPolicy.maxFilesPerBucket(spark, t) === 1)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")

@@ -16,6 +16,20 @@ class HnswGraphSpec extends SparkSpec {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  test("mFor: +5 per corpus doubling above 16 Ki, exact at the " +
+      "boundaries the SQL oracle derives with power(2,x)") {
+    assert(HnswGraph.mFor(1L) === 16)
+    assert(HnswGraph.mFor(500L) === 16)      // sf0.01 — oracle-checked
+    assert(HnswGraph.mFor(16384L) === 16)    // boundary stays base
+    assert(HnswGraph.mFor(16385L) === 21)    // first doubling step
+    assert(HnswGraph.mFor(20000L) === 21)    // x10 CI gate corpus
+    assert(HnswGraph.mFor(32768L) === 21)
+    assert(HnswGraph.mFor(32769L) === 26)
+    assert(HnswGraph.mFor(60000L) === 26)    // x30 sweep corpus
+    assert(HnswGraph.mFor(200000L) === 36)   // x100 sweep corpus
+    assert(HnswGraph.mFor(1L << 30) === 96)  // the 1 B scaladoc claim
+  }
+
   test("graph shape: layered, m-bounded out-degree, nested levels") {
     val out = graft.queries.LlmQueries.s11AnnHnsw(spark, dir)
     assert(out.count() > 0) // builds + persists the graph as a side effect
