@@ -391,7 +391,16 @@ object HnswGraph {
     val cMemb = corpus.join(cells, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
     val bMemb = cMemb.unionByName(dMemb)
-    val p0 = dMemb.as("a").join(bMemb.as("b"),
+    // the DELTA side broadcasts: append is the streaming path, so the
+    // delta is micro-batch-sized while the standing corpus is the big
+    // table — without the hint the cid equi-join is free to shuffle
+    // the CORPUS's vectors once per batch (the same defect class the
+    // r9 x30 probe caught in build, and exactly what a small-stats
+    // streaming frame fails to auto-broadcast). With it, standing
+    // vectors are only SCANNED; no vector column crosses a shuffle
+    // (pinned by `QueryMetricsSpec`). A corpus-sized backfill delta
+    // belongs in [[build]]/[[compact]], not here
+    val p0 = broadcast(dMemb.as("a")).join(bMemb.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
@@ -401,7 +410,10 @@ object HnswGraph {
       val dm = delta.where(levelOf(col("vec_id"), stride) >= layer)
       val cm = corpus.unionByName(delta)
         .where(levelOf(col("vec_id"), stride) >= layer)
-      dm.as("a").join(cm.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      // both sides are small (delta-sized / stride-bounded ≤ ~768) —
+      // broadcast the delta side so the nested-loop stays shuffle-free
+      broadcast(dm.as("a")).join(cm.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
           col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
           col("b.v").as("dv"), col("b.nrm").as("dn"))

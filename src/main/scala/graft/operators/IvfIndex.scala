@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions.col
   */
 object IvfIndex {
 
+  /** Size-derived list count: the smallest power of two whose SQUARE
+    * covers the corpus (K ≈ √n, floored at 8) — the classic IVF
+    * balance point. Both sides of the cost scale with K: assignment
+    * scores n·K centroid pairs, a probe scans nProbe·(n/K) list
+    * members, and K ≈ √n makes both O(n^1.5)-total / O(√n)-per-probe
+    * instead of one of them quadratic. The r10 scale probe measured
+    * exactly that failure at a FIXED K: s10's corpus-scaled probe set
+    * over K=8 lists read exp 2.12 (5.6 → 58.2 s at x10 → x30) because
+    * every list grew with n while the probe count did too. Integer-only
+    * (compare squares, never sqrt) so the SQL oracle derives the
+    * identical K with no float edge. */
+  def kFor(n: Long): Long = {
+    var k = 8L
+    while (k * k < n) k <<= 1
+    k
+  }
+
   /** Write `assigned` (payload columns + a `cid` centroid-id column) as
     * the partitioned index table (overwriting the previous revision). */
   def write(assigned: DataFrame, table: String): Unit = {

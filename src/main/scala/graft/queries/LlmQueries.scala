@@ -2181,12 +2181,18 @@ object LlmQueries {
     * no driver round-trip ([[PlanQualitySpec]] pins the `dynamicpruning`
     * partition filter). Same deterministic quantizer as S03 (K lowest-id
     * vectors; ties → lowest centroid id) so the oracle replays the whole
-    * chain; differs in probe set (every 9th vector) and nProbe=3. */
+    * chain; differs in probe set (every 9th vector), nProbe=3, and a
+    * SIZE-DERIVED K ([[graft.operators.IvfIndex.kFor]], K ≈ √n,
+    * derived in the oracle from count(*) so both engines partition
+    * identically): s03's fixed K=8 is linear there because its probe
+    * set is fixed, but s10's probes scale with the corpus, so
+    * fixed-width lists made the probe join QUADRATIC — the r10
+    * x10→x30 probe measured exp 2.12 (5.6 → 58.2 s) before the law. */
   def s10AnnIndexed(s: SparkSession, dir: String): DataFrame = {
-    val K = 8
     val nProbe = 3
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val K = graft.operators.IvfIndex.kFor(e.count())
     val cents = e.where(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val toCent = e.join(broadcast(cents))
@@ -3056,7 +3062,13 @@ object LlmQueries {
         |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
         |      (p,q)->p+q)) nrm
         |  FROM e),
-        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 8),
+        |cnt AS (SELECT count(*) nn FROM e),
+        |kk AS (SELECT min(CAST(power(2, x) AS BIGINT)) k
+        |       FROM range(3, 21) t(x), cnt
+        |       WHERE CAST(power(2, x) AS BIGINT)
+        |             * CAST(power(2, x) AS BIGINT) >= nn),
+        |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n, kk
+        |          WHERE vec_id < k),
         |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),

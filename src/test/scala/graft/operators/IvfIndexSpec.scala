@@ -20,6 +20,17 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     IvfIndex.write(assigned, "ivf_spec_index")
   }
 
+  test("kFor: smallest power of two whose square covers the corpus, " +
+      "floored at 8 — the boundaries the SQL oracle derives") {
+    assert(IvfIndex.kFor(1L) === 8L)
+    assert(IvfIndex.kFor(64L) === 8L)      // 8² = 64 exactly
+    assert(IvfIndex.kFor(65L) === 16L)
+    assert(IvfIndex.kFor(500L) === 32L)    // sf0.01 — oracle-checked
+    assert(IvfIndex.kFor(20000L) === 256L) // x10: lists ≈ 78 wide
+    assert(IvfIndex.kFor(60000L) === 256L) // x30: lists ≈ 234 wide
+    assert(IvfIndex.kFor(1L << 40) === (1L << 20)) // 1 T → 1 Mi lists
+  }
+
   test("write/read round-trips the assignment, partition column intact") {
     buildIndex()
     val back = IvfIndex.read(spark, "ivf_spec_index")

@@ -85,6 +85,62 @@ class QueryMetricsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("append's delta-side broadcast: corpus vectors cross at most " +
+      "ONE shuffle per micro-batch (the membership attach)") {
+    import spark.implicits._
+    // same masking concern as the build test: disable auto-broadcast so
+    // only the explicit delta-side hints keep the plan vector-free
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+        .select(col("vec_id"),
+          graft.functions.TextFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+        .persist()
+      val n = e.count()
+      val table = "metrics_append_spec"
+      SnapshotMerge.dropTableAndLocation(spark, table)
+      val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+      BucketedLayout.writeBucketed(
+        HnswGraph.build(e, cells0, m = HnswGraph.mFor(n),
+          stride = HnswGraph.strideFor(n)), table, "src", 8)
+      val v0 = e.where(col("vec_id") === 5L)
+        .select(col("v")).as[Seq[Double]].head()
+      val delta = (0 until 4).map { j =>
+        (300001L + j, v0.updated(j % v0.size, v0(j % v0.size) + 1e-4))
+      }.toDF("vec_id", "v")
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+      val union = e.unionByName(delta)
+      val cells = HnswGraph.signCells(union, HnswGraph.bitsFor(n))
+      // measured regimes at cap 0 (n=500, |delta|=4): WITH the
+      // delta-side broadcast the only corpus-sized vector exchange is
+      // the corpus ⋈ cells membership attach (500 recs = exactly one
+      // pass); WITHOUT it, the cid equi-join additionally shuffles the
+      // whole two-cells-per-vector union (1008 recs ≈ 2(n+Δ)). The
+      // 1.2n cap sits between the regimes, so removing the hint fails
+      // here (verified by hand in both directions). The one remaining
+      // pass is append's NAMED per-batch scale bound — a cid-
+      // partitioned membership table (the IvfIndex layout) is the
+      // design that would remove it; BASELINE.md §r10 records it
+      val ((), _, vectorShuffles) =
+        QueryMetrics.auditVectorShuffles(spark,
+            benignRecordCap = n + n / 5) {
+          HnswGraph.append(table, e, delta, cells,
+            m = HnswGraph.mFor(n), stride = HnswGraph.strideFor(n))
+          ()
+        }
+      assert(vectorShuffles.isEmpty,
+        "append re-shuffled corpus vectors beyond the one membership " +
+          s"pass — the delta-side broadcast is gone: " +
+          vectorShuffles.mkString("; "))
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      e.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("d03's measured shuffle volume stays far below corpus bytes") {
     graft.queries.LlmQueries.clearStageCache()
     val corpusBytes = graft.Tables.load(spark, sf0001, "documents")
