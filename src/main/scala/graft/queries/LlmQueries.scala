@@ -1777,13 +1777,31 @@ object LlmQueries {
     * 0.3 — catching paraphrased/reworded benchmark leakage that
     * n-gram overlap (d07) cannot see.
     *
-    * Scale shape: s03's IVF bucketing — 8 broadcast centroids, the
-    * both sides land in their 2 nearest cells (broadcast join + a
-    * window over K rows per vector), and the contamination check joins
-    * ON the cell id — never corpus × eval.
-    * The cell approximation is the declared trade (same accounting as
-    * s03 vs s01's brute tier); the oracle replays the bucketing exactly,
-    * so approximation never reads as error. */
+    * Scale shape: s03's IVF bucketing — 8 broadcast centroids, both
+    * sides land in their 2 nearest cells (broadcast join + a window
+    * over K rows per vector), and the contamination check joins ON the
+    * cell id — never corpus × eval. K is DELIBERATELY fixed after
+    * measuring the alternatives (r10, x10 generated corpus, d18's
+    * exact ≥0.3 check as truth; pair volume = nProbe²·n·q/K):
+    * K=8/nProbe=2 reads recall 0.9972 at n·q/2 pairs; the √n cell law
+    * that fixed s10 (K=256 here) reads 0.60 at the same nProbe (fixed
+    * probes do not survive a finer ARBITRARY-centroid partition), and
+    * recovering recall by probing nProbe = K/16 cells reads 1.000 but
+    * scans n·q — twice the r9 config, and growing with K. LEARNED
+    * centroids were measured too and REJECTED: 3 Lloyd rounds at K=256
+    * (balanced cells, max 101/78 expected) read 0.6531 at nProbe=2 —
+    * barely above arbitrary centroids — because at this corpus's 0.3
+    * threshold the exact check flags 18,822 of ~18,824 training
+    * vectors (0.3 is noise-level similarity in the synthetic embedding
+    * space), so "recall" here measures CELL-COLLISION probability of
+    * near-random pairs, which no quantizer improves and coarse cells
+    * maximize. The K=8 config is therefore the measured optimum for
+    * this row's semantics; a production deployment with a selective
+    * threshold (near-copy contamination) is where finer learned cells
+    * pay, and the machinery (s08 Lloyd + kFor) exists when the data
+    * warrants it. The cell approximation is the declared trade (same
+    * accounting as s03 vs s01's brute tier); the oracle replays the
+    * bucketing exactly, so approximation never reads as error. */
   def d17SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val K = 8
     val nProbe = 2
@@ -1932,10 +1950,20 @@ object LlmQueries {
     *
     * Scale shape: the pair join keys on the cluster id — the corpus
     * shuffles ONCE by cluster and the quadratic comparison is confined to
-    * single clusters (in production K grows with the corpus, so cluster
-    * sizes stay bounded); nothing here is corpus-wide all-pairs. The
-    * accuracy trade vs d05's exact pair scan (cross-cluster duplicates are
-    * missed) is the SemDeDup design point. */
+    * single clusters; nothing here is corpus-wide all-pairs. K is
+    * DELIBERATELY fixed at 8 after measuring the alternative (r10, x10
+    * generated corpus, exact ≥0.4-truth 17,902 removable vectors):
+    * K=8 finds 13,098 (0.732 of truth); the √n-cell law that fixed
+    * s10/d17 ([[graft.operators.IvfIndex.kFor]]) finds 5,387 (0.301)
+    * at top-1 membership and 9,757 (0.545) with SemDeDup-style top-2
+    * multiprobe — at this LOOSE threshold (0.4; real SemDeDup prunes
+    * near-copies at ~0.95), similar-but-not-identical pairs straddle
+    * arbitrary first-K-vector cells as soon as the cells get fine.
+    * Growing K without losing them needs LEARNED centroids (s08's
+    * Lloyd machinery — oracle-replayable, the real SemDeDup quantizer)
+    * so co-assignment follows the data; that upgrade is the named next
+    * step, and until then the 8-cell partition is the measured-best
+    * quality at n²/8 confined pair volume. */
   def d06SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val K = 8
     val e = emb(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
