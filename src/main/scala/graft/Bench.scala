@@ -216,8 +216,16 @@ object Bench {
       spark.read.parquet(s"$tmp/epic_img_metadata_1").count() == nImages)
 
     // "queries" stays flat name→sec (the driver-contract shape);
-    // per-query success lands in "queries_ok" + the "errors" list
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // per-query success lands in "queries_ok" + the "errors" list.
+    // Seconds are rounded to ms: the full-precision doubles made the
+    // one JSON line ~8 KB, and the driver keeps only a ~4 KB tail of
+    // the sbt output — every round through r10 read "parsed": null and
+    // fell back to regex. ms precision is far inside the run-to-run
+    // band (±0.1+ s on every row), so nothing adjudicable is lost.
+    def ms(v: Double): String =
+      if (v.isNaN) "null" else BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
@@ -227,7 +235,7 @@ object Bench {
     // so it stays comparable to pre-r8 totals where the first consuming
     // query carried each build inside its own row
     val total = (stageRows ++ results).filter(_._3).map(_._2).sum
-    val stages = stageRows.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val stages = stageRows.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val volJson = volumes.map { vs =>
       val sh = vs.map { case (k, b, _) => "\"" + k + "\":" + b }
@@ -242,17 +250,19 @@ object Bench {
         ",\"recalib_t1\":[" + c0 + "," + c1 + "]}"
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":$qs,""" +
       s""""stages":$stages,"queries_rerun":$rerunJson,""" +
       s""""queries_ok":$oks,"errors":$errors,$volJson""" +
-      s""""images_per_sec":$imagesPerSec,""" +
-      s""""images_per_sec_max":$imagesPerSecMax,""" +
-      s""""images_per_sec_runs":${runs.mkString("[", ",", "]")},""" +
+      s""""images_per_sec":${ms(imagesPerSec)},""" +
+      s""""images_per_sec_max":${ms(imagesPerSecMax)},""" +
+      s""""images_per_sec_runs":${runs.map(ms).mkString("[", ",", "]")},""" +
       s""""ingest_batch_calib_t1":${
-        timedBatches.map(_._2).mkString("[", ",", "]")},""" +
-      s""""calib":{"threads":$cpus,"start_t1_sec":$calibStart1,""" +
-      s""""start_tn_sec":$calibStartN,"ingest_t1_sec":$calibIngest1,""" +
-      s""""ingest_tn_sec":$calibIngestN},""" +
+        timedBatches.map(b => ms(b._2)).mkString("[", ",", "]")},""" +
+      s""""calib":{"threads":$cpus,"start_t1_sec":${ms(calibStart1)},""" +
+      s""""start_tn_sec":${ms(calibStartN)},""" +
+      s""""ingest_t1_sec":${ms(calibIngest1)},""" +
+      s""""ingest_tn_sec":${ms(calibIngestN)}},""" +
       s""""pipeline_images":$nImages,""" +
       s""""pipeline_pixel_rows":$nPx,"sf":"$sfDir"}"""
     println(json)
@@ -262,5 +272,17 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // the driver keeps only the TAIL of the sbt output, so the
+    // machine-readable line must be (a) short enough to survive the
+    // tail window whole and (b) the last thing printed — after
+    // spark.stop() so no executor-shutdown logging lands behind it.
+    // This is the driver-contract subset (headline + per-query secs);
+    // the full object (ok-flags, reruns, calibration) is in `out`.
+    val contract =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":$qs,"stages":$stages,"errors":$errors,""" +
+      s""""images_per_sec":${ms(imagesPerSec)},"sf":"$sfDir",""" +
+      s""""detail":"$out"}"""
+    println(contract)
   }
 }

@@ -263,12 +263,18 @@ object Cli {
         // scriptable form of the streaming ingest paths' auto-compact,
         // for cron-style maintenance of a standing table
         val needed = opts.get("max-files").forall { mf =>
+          // a typo'd flag value is a usage error, not a stack trace
+          val limit = scala.util.Try(mf.toInt).getOrElse {
+            System.err.println(
+              s"table-compact: --max-files must be an integer (got '$mf')")
+            sys.exit(2)
+          }
           val have = graft.operators.CompactPolicy
             .maxFilesPerBucket(spark, t)
-          val over = have > mf.toInt
+          val over = have > limit
           println(if (over)
-            s"$t exceeds policy ($have > $mf files/bucket)"
-          else s"$t within policy ($have <= $mf files/bucket); " +
+            s"$t exceeds policy ($have > $limit files/bucket)"
+          else s"$t within policy ($have <= $limit files/bucket); " +
             "nothing to do")
           over
         }

@@ -26,11 +26,15 @@ import org.apache.spark.sql.SparkSession
 object CompactPolicy {
 
   /** Max parquet-file count over the buckets/lists of `table`.
-    * Understands both standing-index layouts: `cid=`-partitioned
-    * directories (the IVF inverted lists) and flat bucketed tables
-    * (the HNSW graph — files carry their bucket id as the `_NNNNN`
-    * suffix Spark's bucketed writer emits). A flat file with no bucket
-    * suffix counts as its own singleton group. */
+    * Understands all three standing-index layouts: `cid=`-partitioned
+    * directories (the IVF inverted lists), NESTED partition directories
+    * (the graph's `layer=/pt=` two-level layout — the walk recurses to
+    * the leaf dirs and each leaf is one bucket), and flat bucketed
+    * tables (files carry their bucket id as the `_NNNNN` suffix Spark's
+    * bucketed writer emits). A flat file with no bucket suffix counts
+    * as its own singleton group. A table whose location does not exist
+    * yet (first run, nothing ingested) reads 0 — "nothing to compact",
+    * not a stack trace (the CLI's `--max-files` gate hits this). */
   def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
     // fresh-JVM path (the CLI): an in-memory catalog that never
     // registered the table still has its warehouse directory — resolve
@@ -43,21 +47,24 @@ object CompactPolicy {
     else new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(loc).toSeq
-    val listDirs = entries.filter(s =>
-      s.isDirectory && s.getPath.getName.contains("="))
-    if (listDirs.nonEmpty)
-      listDirs.map(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet"))).max
-    else {
-      val bucketOf = "_(\\d{5})\\.".r
-      val files = entries.map(_.getPath.getName)
-        .filter(_.endsWith(".parquet"))
-      if (files.isEmpty) 0
-      else files.groupBy(f =>
-          bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
-        .valuesIterator.map(_.size).max
+    if (!fs.exists(loc)) return 0
+    def leafMax(p: org.apache.hadoop.fs.Path): Int = {
+      val entries = fs.listStatus(p).toSeq
+      val partDirs = entries.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (partDirs.nonEmpty)
+        partDirs.map(d => leafMax(d.getPath)).max
+      else {
+        val bucketOf = "_(\\d{5})\\.".r
+        val files = entries.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+        if (files.isEmpty) 0
+        else files.groupBy(f =>
+            bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+          .valuesIterator.map(_.size).max
+      }
     }
+    leafMax(loc)
   }
 
   /** The decision: does `table`'s layout exceed `maxFiles` files in any

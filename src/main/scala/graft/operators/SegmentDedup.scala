@@ -30,6 +30,28 @@ object SegmentDedup {
 
   val SegTokens = 16
 
+  /** Fingerprint-format tag of the CURRENT segment keyspace, recorded as
+    * a commit-dir marker beside every snapshot this operator writes. The
+    * r10 key widening (mod-1e9+7 → the ~2^60 paired-prime
+    * `fingerprintWide`) changed what a stored fp MEANS: an old-format
+    * snapshot never matches new-format probes, so every previously-
+    * admitted segment would silently re-admit as unique. The marker
+    * turns that silent divergence into a loud rebuild instruction —
+    * [[dedupDelta]] and [[appendCommit]] refuse a snapshot whose
+    * recorded format differs from the code's. */
+  val FpFormat = "fpw60"
+
+  private def requireFormat(spark: SparkSession, table: String): Unit = {
+    val have = TableCommit.readMarker(spark, table, "segfmt")
+    if (!have.contains(FpFormat))
+      throw new IllegalStateException(
+        s"segment snapshot '$table' carries fingerprint format " +
+          s"${have.getOrElse("(none — pre-format-marker table)")} but " +
+          s"this build emits $FpFormat: old keys never match new probes," +
+          " so duplicates would pass undetected. Rebuild the snapshot " +
+          "(SegmentDedup.writeSnapshot from the standing corpus).")
+  }
+
   /** (doc_id, seg_idx, seg_ntok, fp): the deterministic non-overlapping
     * 16-token segmentation d15 defines — ONE derivation shared by the
     * batch query, this operator, and their oracles. fp is the ~2^60
@@ -60,6 +82,7 @@ object SegmentDedup {
     SnapshotMerge.dropTableAndLocation(spark, table)
     BucketedLayout.writeBucketed(
       segments(docs).select(col("fp")).distinct(), table, "fp", nBuckets)
+    TableCommit.writeMarker(spark, table, "segfmt", FpFormat)
   }
 
   /** Per-delta-document removal budget vs the standing snapshot AND
@@ -70,6 +93,7 @@ object SegmentDedup {
     * side materialized. */
   def dedupDelta(spark: SparkSession, delta: DataFrame,
       table: String): DataFrame = {
+    requireFormat(spark, table)
     // the snapshot may have been appended to by ANOTHER session (a
     // streaming micro-batch runs in a cloned session; a concurrent
     // admitter is its own session) — this session's cached file listing
@@ -114,6 +138,7 @@ object SegmentDedup {
   def appendCommit(delta: DataFrame, table: String,
       nBuckets: Int = 32): Long = {
     val spark = delta.sparkSession
+    requireFormat(spark, table)
     spark.catalog.refreshTable(table) // see dedupDelta: cross-session appends
     val newFps = segments(delta).select(col("fp")).distinct()
       .join(spark.table(table), Seq("fp"), "left_anti")
