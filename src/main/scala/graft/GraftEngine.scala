@@ -289,8 +289,8 @@ object Cli {
         val cells = graft.operators.HnswGraph.signCells(
           e, graft.operators.HnswGraph.bitsFor(n))
         val epoch = graft.operators.HnswGraph.compact(t, e, cells,
-          m = graft.operators.HnswGraph.mFor(n), nBuckets = 8,
-          stride = graft.operators.HnswGraph.strideFor(n))
+          m = graft.operators.HnswGraph.mFor(n),
+          stride = graft.operators.HnswGraph.strideFor(n), n = n)
         println(s"compacted $t from $n vectors -> epoch $epoch " +
           s"(${spark.table(t).count()} edges)")
         }

@@ -48,23 +48,27 @@ object CompactPolicy {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) return 0
-    def leafMax(p: org.apache.hadoop.fs.Path): Int = {
+    def leafMax(p: org.apache.hadoop.fs.Path, nested: Boolean): Int = {
       val entries = fs.listStatus(p).toSeq
       val partDirs = entries.filter(s =>
         s.isDirectory && s.getPath.getName.contains("="))
       if (partDirs.nonEmpty)
-        partDirs.map(d => leafMax(d.getPath)).max
+        partDirs.map(d => leafMax(d.getPath, nested = true)).max
       else {
-        val bucketOf = "_(\\d{5})\\.".r
         val files = entries.map(_.getPath.getName)
           .filter(_.endsWith(".parquet"))
         if (files.isEmpty) 0
-        else files.groupBy(f =>
-            bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
-          .valuesIterator.map(_.size).max
+        else if (nested) files.size // a partition leaf IS one bucket
+        else {
+          // flat layout: group by the bucketed writer's _NNNNN suffix
+          val bucketOf = "_(\\d{5})\\.".r
+          files.groupBy(f =>
+              bucketOf.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+            .valuesIterator.map(_.size).max
+        }
       }
     }
-    leafMax(loc)
+    leafMax(loc, nested = false)
   }
 
   /** The decision: does `table`'s layout exceed `maxFiles` files in any

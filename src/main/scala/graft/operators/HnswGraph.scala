@@ -81,6 +81,71 @@ object HnswGraph {
     when(id % (stride * 8) === 0, 2)
       .when(id % stride === 0, 1).otherwise(0)
 
+  /** Src-hash partition count for the standing graph table: the
+    * smallest power of two holding ~32 sources per partition, clamped
+    * to [64, 65536]. This is the s10 law applied to the graph — the
+    * serving read bound: a search hop expands a frontier of ≤ |Q|·ef0
+    * nodes, and with the adjacency partitioned on `pt = src mod P` the
+    * hop's scan prunes (DPP from the broadcast frontier) to the
+    * frontier's partitions — ≤ |Q|·ef0·(n/P)·m ≈ |Q|·ef0·32·m rows,
+    * CONSTANT in the corpus size once the law is past its clamp, where
+    * the r10 layout re-scanned all n·m rows per hop per micro-batch
+    * (the measured exp-1.75 residual). The 65536 cap keeps directory
+    * counts sane (at 1 B vectors: ~15 k sources/partition, still a
+    * ~0.05 % read for a 5-query batch). */
+  def ptFor(n: Long): Long = {
+    var p = 64L
+    while (p * 32 < n && p < 65536L) p <<= 1
+    p
+  }
+
+  /** Write the layered adjacency as THE standing graph layout: a
+    * managed parquet table partitioned by (layer, pt) with
+    * `pt = src mod ptFor(n)` — layer dirs give the landing's
+    * layer-≥1 scan static pruning; pt dirs give the hop joins dynamic
+    * pruning from the frontier ([[search]]'s `ptMod`). One file per
+    * partition (the hash-repartition before a partitioned write —
+    * [[PartitionedLayout]]'s discipline). The BUILD-TIME corpus size is
+    * persisted as a `meta` commit-dir marker: [[append]] and the
+    * streaming server re-derive bitsFor/strideFor/mFor/ptFor from the
+    * size the STANDING graph was built from, never from the grown
+    * corpus at restart (a re-derivation crossing a doubling/stride
+    * boundary would append edges inconsistent with the standing
+    * layers). */
+  def writeGraph(graph: DataFrame, table: String, n: Long): Unit = {
+    val spark = graph.sparkSession
+    SnapshotMerge.dropTableAndLocation(spark, table)
+    writeGraphData(graph, table, ptFor(n))
+    TableCommit.writeMarker(spark, table, "meta", n.toString)
+  }
+
+  private def writeGraphData(graph: DataFrame, table: String,
+      p: Long): Unit =
+    graph
+      .withColumn("pt", pmod(col("src"), lit(p)).cast("int"))
+      .repartition(col("layer"), col("pt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("layer", "pt")
+      .format("parquet").saveAsTable(table)
+
+  /** The corpus table layout that lets [[search]]'s per-hop SCORING
+    * join prune too: (vec_id, v, nrm) partitioned by the same
+    * `pt = vec_id mod ptFor(n)` law. Optional — search prunes the
+    * vector side only when the frame it is handed carries a `pt`
+    * column — but a serving deployment wants it: without it each hop
+    * re-scans every corpus vector to score a few hundred candidates. */
+  def writeCorpus(e: DataFrame, table: String, n: Long): Unit = {
+    val spark = e.sparkSession
+    SnapshotMerge.dropTableAndLocation(spark, table)
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("pt", pmod(col("vec_id"), lit(ptFor(n))).cast("int"))
+      .repartition(col("pt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pt")
+      .format("parquet").saveAsTable(table)
+    TableCommit.writeMarker(spark, table, "meta", n.toString)
+  }
+
   /** (vec_id, cid) with 2 rows per vector — the layer-0 candidate
     * constraint: cid is the h-bit string of sign(round(dot(v, dir_i),6))
     * over the h lowest-id vectors as projection directions, plus the
@@ -371,9 +436,19 @@ object HnswGraph {
     * protocol exception. `cells` must cover corpus ∪ delta (vec_id,
     * cid — 2 rows each). */
   def append(table: String, corpus: DataFrame, delta: DataFrame,
-      cells: DataFrame, m: Int = DefaultM, nBuckets: Int = 8,
+      cells: DataFrame, m: Int = DefaultM,
       stride: Long = 8L): Long = {
     val spark = corpus.sparkSession
+    // the partition modulus is the STANDING table's, persisted at
+    // build/compact time — deriving it from the grown corpus would
+    // scatter delta edges across partitions the searches don't probe
+    val ptMod = TableCommit.readMarker(spark, table, "meta") match {
+      case Some(v) => ptFor(v.toLong)
+      case None => throw new IllegalStateException(
+        s"graph table '$table' has no build-meta marker — it was not " +
+          "written by HnswGraph.writeGraph/compact; rebuild it before " +
+          "appending")
+    }
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     def topM(pairs: DataFrame): DataFrame =
@@ -436,14 +511,17 @@ object HnswGraph {
       .distinct()
     val base = TableCommit.epochOf(spark, table)
     TableCommit.commit(spark, table, base) {
-      // match the standing table's bucket spec (appending unbucketed
-      // rows to a bucketed table is rejected); appends add a file per
-      // touched bucket — the scan's per-file sort order then degrades
-      // until the next [[compact]] rebuild re-compacts, exactly like
-      // IvfIndex.append's small-files story
-      edges.repartition(nBuckets, col("src"))
+      // match the standing table's (layer, pt) partition spec: delta
+      // edges land as one new file per TOUCHED partition — the
+      // non-touched partitions keep their files byte-identical, and the
+      // per-partition file count degrades until the next [[compact]]
+      // rebuild restores one file each, exactly like IvfIndex.append's
+      // small-files story
+      edges
+        .withColumn("pt", pmod(col("src"), lit(ptMod)).cast("int"))
+        .repartition(col("layer"), col("pt"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(nBuckets, "src").sortBy("src")
+        .partitionBy("layer", "pt")
         .format("parquet").saveAsTable(table)
       base + 1
     }
@@ -467,13 +545,14 @@ object HnswGraph {
     * commit fails the CAS, because the rebuilt graph would silently
     * drop the appended vectors. Returns the new epoch. */
   def compact(table: String, e: DataFrame, cells: DataFrame, m: Int = DefaultM,
-      nBuckets: Int = 8, stride: Long = 8L,
-      baseEpoch: Option[Long] = None): Long = {
+      stride: Long = 8L, baseEpoch: Option[Long] = None,
+      n: Long = -1L): Long = {
     val spark = e.sparkSession
     val base = baseEpoch.getOrElse(TableCommit.epochOf(spark, table))
+    val nVecs = if (n >= 0) n else e.count()
     val stage = s"${table}_c${java.lang.Long.toHexString(System.nanoTime())}"
-    BucketedLayout.writeBucketed(
-      build(e, cells, m = m, stride = stride), stage, "src", nBuckets)
+    writeGraphData(
+      build(e, cells, m = m, stride = stride), stage, ptFor(nVecs))
     // The cleanup catch must distinguish WHERE the failure happened: before
     // the standing table is dropped (CAS loss, pre-drop failure), the stage
     // table is garbage — drop it. But once dropTableAndLocation has deleted
@@ -491,6 +570,18 @@ object HnswGraph {
         SnapshotMerge.dropTableAndLocation(spark, table)
         standingDropped = true
         spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+        // RENAME on a PARTITIONED managed table moves the directory but
+        // the in-memory catalog keeps each partition's OLD location —
+        // scans then list the vanished stage dirs and read empty
+        // (measured: post-swap count 0, warehouse files intact).
+        // Re-discover the partitions from the moved directory.
+        spark.sql(s"MSCK REPAIR TABLE `$table`")
+        // the rebuilt graph's constants are derived from nVecs — record
+        // it so later appends/servers share them (the one legitimate
+        // point where a standing graph's constants may change). A crash
+        // between the rename and this write leaves the PREVIOUS build's
+        // marker standing; the next compact heals it.
+        TableCommit.writeMarker(spark, table, "meta", nVecs.toString)
         base + 1
       }
     } catch {
@@ -597,27 +688,84 @@ object HnswGraph {
     var queries: Long = 0L
     var landingScored: Long = 0L
     var hopScored: List[Long] = Nil
+    /** Adjacency rows a partition-pruned hop SCAN reads (partition
+      * granularity — what DPP admits), one entry per hop; equals the
+      * full layer-0 row count when `ptMod` is 0. scoredPerQuery is the
+      * per-query sublinearity number; this is the per-BATCH scan bound
+      * the r10 layout lacked (it re-read all n·m rows per hop however
+      * small the query batch). */
+    var hopAdjRead: List[Long] = Nil
     def scoredPerQuery: Double =
       if (queries == 0) 0.0
       else (landingScored + hopScored.sum).toDouble / queries
   }
 
+  /** `ptMod` > 0 enables partition pruning against a [[writeGraph]]
+    * layout: each hop's frontier derives `pt = node mod ptMod` and the
+    * expansion equi-join includes it, so the scan of the (layer, pt)-
+    * partitioned adjacency prunes to the frontier's partitions.
+    * `serving = true` additionally BROADCASTS the per-hop frontier and
+    * candidate sets — correct only for micro-batch-sized query sets
+    * (the streaming server's case: |Q|·ef0 rows), where it turns the
+    * hop into a broadcast join whose DPP filter is free; a corpus-
+    * sized probe set must leave it false. If `e` carries a `pt` column
+    * ([[writeCorpus]]), the scoring join prunes the vector table the
+    * same way. */
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,
       efUpper: Int = DefaultEfUpper, ef0: Int = DefaultEf0, k: Int = 5,
-      hops0: Int = DefaultHops0, stats: Option[SearchStats] = None)
+      hops0: Int = DefaultHops0, stats: Option[SearchStats] = None,
+      ptMod: Long = 0L, serving: Boolean = false)
       : DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val pruneVectors = ptMod > 0 && e.columns.contains("pt")
     // frontier columns: (q, qv, qn, node, sim)
-    def score(cands: DataFrame): DataFrame =
-      cands.join(e.withColumnRenamed("vec_id", "node"), "node")
-        .select(col("q"), col("qv"), col("qn"), col("node"), sim.as("sim"))
+    def score(cands: DataFrame): DataFrame = {
+      val eSide = e.withColumnRenamed("vec_id", "node")
+      if (pruneVectors) {
+        val c = cands
+          .withColumn("pt", pmod(col("node"), lit(ptMod)).cast("int"))
+          .where(col("pt") >= 0) // selectivity marker — see ptTagged
+        val cb = if (serving) broadcast(c) else c
+        cb.join(eSide, Seq("pt", "node"))
+          .select(col("q"), col("qv"), col("qn"), col("node"),
+            sim.as("sim"))
+      } else
+        cands.join(eSide.drop("pt"), "node")
+          .select(col("q"), col("qv"), col("qn"), col("node"),
+            sim.as("sim"))
+    }
+    // the frontier reaching a hop is an eager localCheckpoint, which
+    // truncates its lineage to a bare LogicalRDD — erasing the
+    // `rk <= ef` Filter that made it selective. Spark's partition-
+    // pruning rule only builds a DPP subquery when the build side has
+    // a selective predicate, so re-state the (tautological — pmod is
+    // non-negative) bound the checkpoint erased: the frontier IS ef-
+    // bounded, the optimizer just can no longer see why.
+    def ptTagged(f: DataFrame): DataFrame = f
+      .withColumn("pt", pmod(col("node"), lit(ptMod)).cast("int"))
+      .where(col("pt") >= 0)
     def hop(frontier: DataFrame, layer: Int, ef: Int): DataFrame = {
-      val expanded = frontier
-        .join(adj.where(col("layer") === layer)
-            .select(col("src").as("node"), col("dst")),
-          Seq("node"))
-        .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
-      stats.foreach(st => st.hopScored ::= expanded.count())
+      val adj0 = adj.where(col("layer") === layer)
+      val expanded =
+        if (ptMod > 0) {
+          val f = ptTagged(frontier)
+          val fb = if (serving) broadcast(f) else f
+          fb.join(adj0.select(col("pt"), col("src").as("node"),
+              col("dst")), Seq("pt", "node"))
+            .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
+        } else frontier
+          .join(adj0.select(col("src").as("node"), col("dst")),
+            Seq("node"))
+          .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
+      stats.foreach { st =>
+        st.hopScored ::= expanded.count()
+        st.hopAdjRead ::= (if (ptMod > 0) {
+          val pts = frontier
+            .select(pmod(col("node"), lit(ptMod)).cast("int").as("pt"))
+            .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+          adj0.where(col("pt").isin(pts: _*)).count()
+        } else adj0.count())
+      }
       val cand = score(expanded)
         .unionByName(frontier
           .select(col("q"), col("qv"), col("qn"), col("node"), col("sim")))

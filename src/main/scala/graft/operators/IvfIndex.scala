@@ -45,6 +45,120 @@ object IvfIndex {
     k
   }
 
+  /** Coarse-cell count for the two-level assignment: the smallest power
+    * of two whose square covers K — the same balance law one level up.
+    * With K = kFor(n) ≈ √n lists, a FLAT argmax scores n·K ≈ n^1.5
+    * centroid pairs total — correct at x30 (13× better than fixed K)
+    * but the dominant cost at a true 100×. Routing coarse-then-children
+    * ([[assignTwoLevel]]) makes the assignment pass
+    * n·(C + [[CoarseProbes]]·K/C) ≈ n·3√K, the classic two-level IVF
+    * trainer shape, while the list layout and the probe path stay
+    * exactly as they were. */
+  def coarseFor(k: Long): Long = {
+    var c = 1L
+    while (c * c < k) c <<= 1
+    c
+  }
+
+  /** Coarse cells each vector routes through before the child argmax.
+    * Chosen from the measured agreement curve vs the flat argmax on
+    * the synthetic corpus (near-uniform 64-dim — the ADVERSARIAL case
+    * for hierarchical routing, since the similarity landscape is all
+    * near-ties): id-derived coarse cells read 0.49–0.59 at w=2 and
+    * 0.72–0.78 at w=4; ONE Lloyd round over the child centroids lifts
+    * the same widths to 0.60–0.70 and 0.83–0.89. w=4 + learned coarse
+    * is the knee; the residual disagreements are near-tie list swaps
+    * whose probe-recall cost `IvfIndexSpec` measures. Shared with the
+    * s10 SQL oracle. */
+  val CoarseProbes = 4
+
+  /** Quantization step for the coarse LEARNING pass: coarse reps are
+    * element-wise sums of member centroids, and double summation order
+    * differs between Spark and DuckDB — so the learning runs on
+    * floor(x·1e4) integer-valued doubles (the s08 replay trick), whose
+    * sums are EXACT (order-free) while
+    * members·1e4 · sqrt(dim) < 2^26.5 — ~4k members/cell at 64 dims,
+    * far past any kFor/coarseFor ratio. Routing similarities are then
+    * identical in both engines; only the final child argmax uses the
+    * raw vectors (it approximates the flat argmax, which is raw). */
+  val CoarseQuant = 1e4
+
+  /** Two-level nearest-centroid routing — [[assign]]'s scale form, all
+    * joins broadcast-equi and every step 6-rounded/id-tie-broken so the
+    * SQL oracle replays it exactly:
+    *  1. coarse INIT = every (K/C)-th centroid (C = [[coarseFor]](K));
+    *  2. one Lloyd round over the quantized child centroids (assign
+    *     children to nearest init cell, re-center each cell on the
+    *     exact member sum — cosine vs the un-normalized sum equals
+    *     cosine vs the mean, the s08 argument) — the learned cells are
+    *     what makes the hierarchy geometrically coherent (see
+    *     [[CoarseProbes]]'s measured curve);
+    *  3. each centroid routes to its nearest learned cell (K·C pairs);
+    *  4. each vector scores the C learned cells, keeps its
+    *     [[CoarseProbes]] best, then argmaxes over just those cells'
+    *     children — n·(C + CoarseProbes·K/C) ≈ n·5√K scored pairs
+    *     against the flat pass's n·K.
+    * APPROXIMATE by design: a vector whose true nearest child hangs
+    * under an unprobed cell lands in a neighboring list — the standard
+    * two-level IVF trade, measured (not assumed) in `IvfIndexSpec`
+    * against the flat argmax, as probe recall, not just agreement. */
+  def assignTwoLevel(vecs: DataFrame, centroids: DataFrame,
+      w: Int = CoarseProbes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.dot
+    val k = centroids.count()
+    val c = coarseFor(k)
+    val step = k / c
+    val qc = centroids
+      .withColumn("qcv", transform(col("cv"),
+        x => floor(x * lit(CoarseQuant)).cast("double")))
+      .withColumn("qcn", sqrt(dot(col("qcv"), col("qcv"))))
+    val coarse0 = qc.where(col("cid") % step === 0)
+      .select(col("cid").as("ccid"), col("qcv").as("ccv"),
+        col("qcn").as("ccn"))
+    val lloyd = qc.join(broadcast(coarse0))
+      .select(col("cid"), col("qcv"), col("ccid"),
+        round(dot(col("qcv"), col("ccv")) / (col("qcn") * col("ccn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .where(col("rn") === 1)
+    val learned = lloyd.groupBy(col("ccid"))
+      .agg(graft.functions.ArrayElementSum.column(col("qcv")).as("lv"))
+      .withColumn("ln", sqrt(dot(col("lv"), col("lv"))))
+    val c2c = qc.join(broadcast(learned))
+      .select(col("cid"), col("cv"), col("cn"), col("ccid"),
+        round(dot(col("qcv"), col("lv")) / (col("qcn") * col("ln")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("cv"), col("cn"), col("ccid"))
+    val v2c = vecs.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .join(broadcast(learned))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccid"),
+        round(dot(col("v"), col("lv")) / (col("nrm") * col("ln")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .where(col("rn") <= w)
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccid"))
+    v2c.join(broadcast(c2c), "ccid")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
   /** Write `assigned` (payload columns + a `cid` centroid-id column) as
     * the partitioned index table (overwriting the previous revision). */
   def write(assigned: DataFrame, table: String): Unit = {

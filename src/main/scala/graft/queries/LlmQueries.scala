@@ -2223,20 +2223,21 @@ object LlmQueries {
     val K = graft.operators.IvfIndex.kFor(e.count())
     val cents = e.where(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val toCent = e.join(broadcast(cents))
+    // TWO-LEVEL assignment (r11): the flat argmax scored n·K ≈ n^1.5
+    // centroid pairs under the kFor law — the dominant cost at a true
+    // 100×; coarse-then-children is n·~3√K with the layout and probe
+    // path unchanged (the oracle replays the two-level chain)
+    val assigned = graft.operators.IvfIndex.assignTwoLevel(
+      e.select(col("vec_id"), col("v")), cents)
+    graft.operators.IvfIndex.write(assigned, "s10_ivf_index")
+    val index = graft.operators.IvfIndex.read(s, "s10_ivf_index")
+    // probes stay FLAT over the K-row broadcast centroid table — the
+    // per-query serving cost is K ≤ 65536 rows, the standard IVF probe
+    val probes = e.where(col("vec_id") % 9 === 0)
+      .join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
           .as("csim"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = toCent
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        row_number().over(wAsg).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    graft.operators.IvfIndex.write(assigned, "s10_ivf_index")
-    val index = graft.operators.IvfIndex.read(s, "s10_ivf_index")
-    val probes = toCent.where(col("vec_id") % 9 === 0)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
         col("cid"), row_number().over(
           Window.partitionBy(col("vec_id"))
@@ -2277,7 +2278,14 @@ object LlmQueries {
     val adj = corpusHnswGraph(s, dir)
     val qs = e.where(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
-    graft.operators.HnswGraph.search(adj, e, qs)
+    // the partition modulus of the standing layout — derived from the
+    // persisted build-time size, so search and table agree even when a
+    // later append grew the corpus (pruning changes the scan, never the
+    // result; the oracle replays logic, not layout)
+    val ptMod = graft.operators.TableCommit
+      .readMarker(s, "s11_hnsw_graph", "meta")
+      .map(v => graft.operators.HnswGraph.ptFor(v.toLong)).getOrElse(0L)
+    graft.operators.HnswGraph.search(adj, e, qs, ptMod = ptMod)
       .orderBy(col("q"), col("rk"))
   }
 
@@ -2307,12 +2315,11 @@ object LlmQueries {
       val graph = graft.operators.HnswGraph.build(e, cells,
         m = graft.operators.HnswGraph.mFor(n),
         stride = graft.operators.HnswGraph.strideFor(n))
-      // writeSnapshot, not writeBucketed directly: it clears a stale
-      // warehouse directory left by a previous JVM whose in-memory
-      // catalog is gone (the standing-table recovery path every index
-      // write needs)
-      graft.operators.SnapshotMerge.writeSnapshot(
-        graph, "s11_hnsw_graph", "src", 8)
+      // the (layer, pt)-partitioned standing layout + build-meta
+      // marker: landing scans prune statically on layer, search hops
+      // prune dynamically on pt (writeGraph also clears a stale
+      // warehouse directory left by a previous JVM)
+      graft.operators.HnswGraph.writeGraph(graph, "s11_hnsw_graph", n)
       s.table("s11_hnsw_graph")
     }
 
@@ -3080,11 +3087,16 @@ object LlmQueries {
        |  FROM pair_sim WHERE a < 10 AND a <> b)
        |SELECT q, rk, nb, sim FROM ranked WHERE rk <= 5
        |ORDER BY q, rk""".stripMargin
-  /** s10: the same deterministic IVF chain as s03 — the persisted index
-    * holds exactly the assignment rows, so the replay is the s03 SQL with
-    * s10's probe set (every 9th vector) and nProbe=3. */
+  /** s10: the deterministic IVF chain with the r11 TWO-LEVEL assignment
+    * — coarse set = every (K/C)-th centroid (C = the smallest power of
+    * two with C² ≥ K, [[graft.operators.IvfIndex.coarseFor]]), each
+    * centroid routed to its nearest coarse cell, each vector routed
+    * through its [[graft.operators.IvfIndex.CoarseProbes]] best coarse
+    * cells and argmaxed over just their children. The probe side stays
+    * the flat s03 scoring with s10's probe set (every 9th vector) and
+    * nProbe=3. */
   private val S10Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(1, len(v)+1), i -> v[i]*v[i])),
@@ -3095,23 +3107,75 @@ object LlmQueries {
         |       FROM range(3, 21) t(x), cnt
         |       WHERE CAST(power(2, x) AS BIGINT)
         |             * CAST(power(2, x) AS BIGINT) >= nn),
+        |cc2 AS (SELECT min(CAST(power(2, y) AS BIGINT)) cw
+        |       FROM range(0, 12) t(y), kk
+        |       WHERE CAST(power(2, y) AS BIGINT)
+        |             * CAST(power(2, y) AS BIGINT) >= k),
         |cents AS (SELECT vec_id cid, v cv, nrm cn FROM n, kk
         |          WHERE vec_id < k),
+        |qc AS (SELECT cid, cv, cn,
+        |    list_transform(cv, x -> floor(x * CAST(10000 AS DOUBLE))) qcv
+        |  FROM cents),
+        |qn2 AS (SELECT cid, cv, cn, qcv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(qcv)+1), i -> qcv[i]*qcv[i])),
+        |      (p,q)->p+q)) qcn
+        |  FROM qc),
+        |co0 AS (SELECT cid ccid, qcv ccv, qcn ccn FROM qn2, kk, cc2
+        |        WHERE cid % (k // cw) = 0),
+        |lasg AS (SELECT cid, ccid FROM (
+        |    SELECT q2.cid, c0.ccid,
+        |      ROW_NUMBER() OVER (PARTITION BY q2.cid ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(q2.qcv)+1),
+        |            i -> q2.qcv[i]*c0.ccv[i])),
+        |          (p,q)->p+q) / (q2.qcn * c0.ccn), 6) DESC, c0.ccid) rn
+        |    FROM qn2 q2 CROSS JOIN co0 c0) t WHERE rn = 1),
+        |pos2 AS (SELECT UNNEST(range(1, 65)) i),
+        |lsums AS (SELECT ccid, i, sum(qcv[i]) lv_i
+        |  FROM lasg JOIN qn2 USING(cid) CROSS JOIN pos2 GROUP BY ccid, i),
+        |lrn AS (SELECT ccid, lv,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(lv)+1), i -> lv[i]*lv[i])),
+        |      (p,q)->p+q)) lnm
+        |  FROM (SELECT ccid, list(lv_i ORDER BY i) lv FROM lsums
+        |        GROUP BY ccid)),
+        |c2c AS (SELECT cid, cv, cn, ccid FROM (
+        |    SELECT q2.cid, q2.cv, q2.cn, l.ccid,
+        |      ROW_NUMBER() OVER (PARTITION BY q2.cid ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(q2.qcv)+1),
+        |            i -> q2.qcv[i]*l.lv[i])),
+        |          (p,q)->p+q) / (q2.qcn * l.lnm), 6) DESC, l.ccid) rn
+        |    FROM qn2 q2 CROSS JOIN lrn l) t WHERE rn = 1),
+        |v2c AS (SELECT vec_id, v, nrm, ccid FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, l.ccid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(n.v)+1),
+        |            i -> n.v[i]*l.lv[i])),
+        |          (p,q)->p+q) / (n.nrm * l.lnm), 6) DESC, l.ccid) rn
+        |    FROM n CROSS JOIN lrn l) t
+        |  WHERE rn <= ${graft.operators.IvfIndex.CoarseProbes}),
+        |asg AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT t2.vec_id, t2.v, t2.nrm, ch.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY t2.vec_id ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(t2.v)+1),
+        |            i -> t2.v[i]*ch.cv[i])),
+        |          (p,q)->p+q) / (t2.nrm * ch.cn), 6) DESC, ch.cid) rn
+        |    FROM v2c t2 JOIN c2c ch ON ch.ccid = t2.ccid) x WHERE rn = 1),
         |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
         |        (p,q)->p+q) / (n.nrm * c.cn), 6) csim
-        |  FROM n CROSS JOIN cents c),
-        |asg AS (SELECT vec_id, v, nrm, cid FROM (
-        |    SELECT vec_id, v, nrm, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY csim DESC, cid) rn
-        |    FROM tocent) t WHERE rn = 1),
+        |  FROM n CROSS JOIN cents c
+        |  WHERE n.vec_id % 9 = 0),
         |probes AS (SELECT q, qv, qn, cid FROM (
         |    SELECT vec_id q, v qv, nrm qn, cid,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id
         |                         ORDER BY csim DESC, cid) rn
-        |    FROM tocent WHERE vec_id % 9 = 0) t WHERE rn <= 3),
+        |    FROM tocent) t WHERE rn <= 3),
         |scored AS (SELECT p.q, a.vec_id nb,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),

@@ -83,20 +83,43 @@ object StreamingAnn {
     * a restarted stream inherits the true compaction debt. Serving
     * queries race this safely: list compaction swaps files atomically
     * per directory ([[graft.operators.ParquetCompactor]]'s crash-safe
-    * protocol) and [[probeBatch]] refreshes its listing per trigger. */
+    * protocol) and [[probeBatch]] refreshes its listing per trigger.
+    *
+    * Replay safety (streams retry failed batches): the last applied
+    * batchId lands in a commit-dir marker AFTER the append commit and
+    * a batch ≤ the marker is skipped — without it, a checkpointed
+    * restart re-appends the last batch's rows into the lists
+    * (duplicate neighbors served forever). Same protocol and same
+    * stated window as [[StreamingMerge.applyBatchRetain]]: a crash
+    * between commit and marker re-appends once; unlike the merge the
+    * append is not content-idempotent, so that single window is
+    * at-least-once — bounded to one batch, and an offline re-[[graft
+    * .operators.IvfIndex.write]] from the deduplicated source heals
+    * it. */
   def ingest(deltas: DataFrame, centroids: DataFrame, table: String,
       maxFilesPerList: Int = 8,
       onCompact: Seq[graft.operators.ParquetCompactor.CompactionResult]
         => Unit = _ => ()): StreamingQuery = {
     val spark = deltas.sparkSession
     deltas.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.IvfIndex.appendCommit(
-          graft.operators.IvfIndex.assign(batch, centroids), table)
-        if (graft.operators.CompactPolicy.shouldCompact(
-            spark, table, maxFilesPerList))
-          onCompact(graft.operators.IvfIndex.compact(spark, table,
-            minFiles = 1))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = graft.operators.TableCommit
+          .readMarker(spark, table, "stream").map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          // two-level routing, same as the batch index build (r11): a
+          // delta routed by a DIFFERENT rule than the standing index
+          // would land near-duplicates in different lists than a
+          // rebuild puts them
+          graft.operators.IvfIndex.appendCommit(
+            graft.operators.IvfIndex.assignTwoLevel(batch, centroids),
+            table)
+          graft.operators.TableCommit.writeMarker(spark, table, "stream",
+            batchId.toString)
+          if (graft.operators.CompactPolicy.shouldCompact(
+              spark, table, maxFilesPerList))
+            onCompact(graft.operators.IvfIndex.compact(spark, table,
+              minFiles = 1))
+        }
       }
       .start()
   }

@@ -91,8 +91,13 @@ class HnswGraphSpec extends SparkSpec {
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(loc).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
+    // the (layer, pt)-partitioned layout nests files two dirs deep
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => walk(d.getPath)
+        case f => Seq(f.getPath.toString)
+      }
+    walk(loc).filter(_.endsWith(".parquet"))
   }
 
   test("append links within-batch delta nodes, bounds reverse-edge " +
@@ -108,8 +113,8 @@ class HnswGraphSpec extends SparkSpec {
     // DROP TABLE alone leaves an orphan location
     SnapshotMerge.dropTableAndLocation(spark, table)
     val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
-    BucketedLayout.writeBucketed(
-      HnswGraph.build(e, cells0, m = m, stride = stride), table, "src", 8)
+    HnswGraph.writeGraph(
+      HnswGraph.build(e, cells0, m = m, stride = stride), table, n)
     val files0 = parquetFiles(table).size
     val degBefore = spark.table(table)
       .where(col("layer") === 0 && col("src") === 5L).count()
@@ -139,13 +144,16 @@ class HnswGraphSpec extends SparkSpec {
     assert(degAfter - degBefore <= m,
       s"reverse edges unpruned: $degBefore -> $degAfter")
     assert(parquetFiles(table).size > files0,
-      "append should add per-bucket delta files")
-    // compact: rebuild from the current corpus under the commit protocol
+      "append should add per-partition delta files")
+    // compact: rebuild from the current corpus under the commit
+    // protocol. File count after ≠ before in general — the corpus
+    // grew, so more (layer, pt) partitions may be populated — but
+    // every partition must be back to ONE file.
     val epoch = HnswGraph.compact(table, union, cells, m = m,
-      nBuckets = 8, stride = stride)
+      stride = stride)
     assert(epoch >= 1)
-    assert(parquetFiles(table).size === files0,
-      "compact must restore one file per bucket")
+    assert(CompactPolicy.maxFilesPerBucket(spark, table) === 1,
+      "compact must restore one file per partition")
     val maxDeg = spark.table(table).groupBy(col("layer"), col("src"))
       .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
     assert(maxDeg <= 2 * m, "compact must restore the M_max prune")
@@ -197,8 +205,8 @@ class HnswGraphSpec extends SparkSpec {
     val table = "hnsw_stale_spec"
     SnapshotMerge.dropTableAndLocation(spark, table)
     val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
-    BucketedLayout.writeBucketed(
-      HnswGraph.build(e, cells0, m = m, stride = stride), table, "src", 8)
+    HnswGraph.writeGraph(
+      HnswGraph.build(e, cells0, m = m, stride = stride), table, n)
     // three append batches of near-dup deltas (the re-crawl shape):
     // each delta is a 1e-4-perturbed copy of a standing vector — the
     // adversarial case for staleness, because delta reverse edges
@@ -249,8 +257,7 @@ class HnswGraphSpec extends SparkSpec {
     assert(stale >= 0.8, f"stale-graph recall $stale%.3f below bound")
     // compact = full rebuild over the grown corpus → full-recall floor
     val cells = HnswGraph.signCells(corpus, HnswGraph.bitsFor(n))
-    HnswGraph.compact(table, corpus, cells, m = m, nBuckets = 8,
-      stride = stride)
+    HnswGraph.compact(table, corpus, cells, m = m, stride = stride)
     val fresh = recallNow()
     info(f"recall after compact: $fresh%.3f")
     assert(fresh >= 0.9, f"compacted recall $fresh%.3f below floor")

@@ -31,6 +31,101 @@ class IvfIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(IvfIndex.kFor(1L << 40) === (1L << 20)) // 1 T → 1 Mi lists
   }
 
+  test("coarseFor: smallest power of two whose square covers K") {
+    assert(IvfIndex.coarseFor(8L) === 4L)     // 2² < 8 ≤ 4²
+    assert(IvfIndex.coarseFor(32L) === 8L)    // sf0.01's K
+    assert(IvfIndex.coarseFor(64L) === 8L)    // exact square
+    assert(IvfIndex.coarseFor(256L) === 16L)  // x10/x30's K
+    assert(IvfIndex.coarseFor(65536L) === 256L)
+  }
+
+  test("two-level assignment: deterministic, cost n·~5√K, and its " +
+      "agreement with the flat argmax measured — not assumed") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{dot, toDouble}
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val K = IvfIndex.kFor(n)
+    val cents = e
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val two = IvfIndex.assignTwoLevel(e, cents)
+    // deterministic across runs
+    val again = IvfIndex.assignTwoLevel(e, cents)
+    assert(two.select("vec_id", "cid").collect().toSet ===
+      again.select("vec_id", "cid").collect().toSet)
+    // every vector lands in exactly one list
+    assert(two.count() === n)
+    assert(two.select("vec_id").distinct().count() === n)
+    // agreement with the flat argmax is NOT the pin — on this near-
+    // uniform synthetic corpus the centroid similarity landscape is
+    // flat (near-ties everywhere), so the router legitimately picks a
+    // near-equivalent list often. What matters is what a PROBE finds:
+    // recall@5 of the s10 probe flow (every 9th vector, nProbe=3, vs
+    // the brute top-5) under each assignment. Measure both; pin that
+    // two-level costs ≤ 0.05 recall vs flat.
+    val flat = IvfIndex.assign(e, cents).select(
+      col("vec_id"), col("cid").as("fcid"))
+    val agree = two.join(flat, "vec_id")
+      .where(col("cid") === col("fcid")).count()
+    info(f"two-level vs flat argmax agreement: " +
+      f"${agree.toDouble / n}%.4f over $n vectors")
+    def recallOf(asg: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val en = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val probes = en.where(col("vec_id") % 9 === 0)
+        .join(broadcast(cents))
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+            .as("csim"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q"))
+          .orderBy(col("csim").desc, col("cid"))))
+        .where(col("rn") <= 3).select(col("q"), col("qv"), col("qn"),
+          col("cid"))
+      // rename the index side before joining: probes and the index both
+      // descend from `e`, and same-lineage attribute refs are ambiguous
+      val a = asg.select(col("vec_id").as("nbid"), col("v").as("nv"),
+        col("nrm").as("nnrm"), col("cid").as("acid"))
+      val found = probes.join(a,
+          col("cid") === col("acid") && col("nbid") =!= col("q"))
+        .select(col("q"), col("nbid").as("nb"),
+          round(dot(col("qv"), col("nv")) / (col("qn") * col("nnrm")), 6)
+            .as("sim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q"))
+          .orderBy(col("sim").desc, col("nb"))))
+        .where(col("rk") <= 5).select(col("q"), col("nb"))
+      val qs = en.where(col("vec_id") % 9 === 0)
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val brute = qs.join(en, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id").as("nb"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("sim"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q"))
+          .orderBy(col("sim").desc, col("nb"))))
+        .where(col("rk") <= 5).select(col("q"), col("nb"))
+      found.intersect(brute).count().toDouble / brute.count()
+    }
+    val rFlat = recallOf(
+      IvfIndex.assign(e, cents))
+    val rTwo = recallOf(two)
+    val rTwo3 = recallOf(IvfIndex.assignTwoLevel(e, cents, w = 3))
+    info(f"probe recall@5: flat=$rFlat%.4f " +
+      f"twoLevel(w=${IvfIndex.CoarseProbes})=$rTwo%.4f " +
+      f"twoLevel(w=3)=$rTwo3%.4f")
+    // measured (sf0.01, learned coarse): flat 0.3107, w=4 0.2964,
+    // w=3 0.3071 — the two-level cost is inside the probe-set noise
+    // (±2 hits of 140); the floor catches a structural collapse, not
+    // the noise
+    assert(rTwo >= rFlat - 0.05,
+      f"two-level assignment costs more than 0.05 recall: " +
+        f"flat $rFlat%.4f vs two-level $rTwo%.4f")
+  }
+
   test("write/read round-trips the assignment, partition column intact") {
     buildIndex()
     val back = IvfIndex.read(spark, "ivf_spec_index")

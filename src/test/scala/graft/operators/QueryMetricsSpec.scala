@@ -103,9 +103,9 @@ class QueryMetricsSpec extends SparkSpec {
       val table = "metrics_append_spec"
       SnapshotMerge.dropTableAndLocation(spark, table)
       val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
-      BucketedLayout.writeBucketed(
+      HnswGraph.writeGraph(
         HnswGraph.build(e, cells0, m = HnswGraph.mFor(n),
-          stride = HnswGraph.strideFor(n)), table, "src", 8)
+          stride = HnswGraph.strideFor(n)), table, n)
       val v0 = e.where(col("vec_id") === 5L)
         .select(col("v")).as[Seq[Double]].head()
       val delta = (0 until 4).map { j =>

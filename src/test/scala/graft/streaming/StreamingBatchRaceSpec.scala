@@ -65,8 +65,8 @@ class StreamingBatchRaceSpec extends SparkSpec {
       .withColumn("nrm",
         sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
     val cells = HnswGraph.signCells(e, 3)
-    BucketedLayout.writeBucketed(
-      HnswGraph.build(e, cells, m = 4, stride = 8L), T, "src", 4)
+    HnswGraph.writeGraph(
+      HnswGraph.build(e, cells, m = 4, stride = 8L), T, 64L)
     val base = TableCommit.epochOf(spark, T)
 
     // streaming append lands first
@@ -75,12 +75,11 @@ class StreamingBatchRaceSpec extends SparkSpec {
         sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
     val union = e.unionByName(delta)
     val allCells = HnswGraph.signCells(union, 3)
-    HnswGraph.append(T, e, delta, allCells, m = 4, nBuckets = 4,
-      stride = 8L)
+    HnswGraph.append(T, e, delta, allCells, m = 4, stride = 8L)
 
     // compact built against the pre-append corpus read loses
     intercept[TableCommit.ConcurrentWriteException] {
-      HnswGraph.compact(T, e, cells, m = 4, nBuckets = 4, stride = 8L,
+      HnswGraph.compact(T, e, cells, m = 4, stride = 8L,
         baseEpoch = Some(base))
     }
     // the appended node is still served
@@ -88,8 +87,7 @@ class StreamingBatchRaceSpec extends SparkSpec {
 
     // retried against the epoch it can actually see, the compact wins —
     // and the rebuild now INCLUDES the appended vector
-    val epoch = HnswGraph.compact(T, union, allCells, m = 4,
-      nBuckets = 4, stride = 8L)
+    val epoch = HnswGraph.compact(T, union, allCells, m = 4, stride = 8L)
     assert(epoch === TableCommit.epochOf(spark, T))
     assert(spark.table(T).where(col("src") === 1001L).count() > 0)
   }

@@ -96,10 +96,10 @@ class StreamingSoakSpec extends SparkSpec {
     val gStride = graft.operators.HnswGraph.strideFor(120)
     val gCells = graft.operators.HnswGraph.signCells(
       eDf, graft.operators.HnswGraph.bitsFor(120))
-    graft.operators.BucketedLayout.writeBucketed(
+    graft.operators.HnswGraph.writeGraph(
       graft.operators.HnswGraph.build(eDf, gCells, m = gM,
         stride = gStride),
-      "soak_hnsw_graph", "src", 4)
+      "soak_hnsw_graph", 120L)
 
     // --- the seven streams (4 from r8 + graph-ANN serving, segment
     // dedup admission, CDC time-travel apply from r9) ---
@@ -154,7 +154,7 @@ class StreamingSoakSpec extends SparkSpec {
     val servedAtCompact = new java.util.concurrent.atomic.AtomicLong(-1)
     val qIng = StreamingGraphAnn.ingest(
         memIng.toDF().select(col("vec_id"), col("v")),
-        "soak_hnsw_corpus", "soak_hnsw_graph", nBuckets = 4,
+        "soak_hnsw_corpus", "soak_hnsw_graph",
         maxFilesPerBucket = 3, onCompact = { _ =>
       graphCompacts.incrementAndGet()
       filesAfterCompact.set(graft.operators.CompactPolicy
