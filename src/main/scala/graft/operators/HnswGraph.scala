@@ -154,9 +154,15 @@ object HnswGraph {
     * centered embeddings (measured: 20k vectors / h=10 → max bucket 71).
     * Scale shape: one broadcast of h direction vectors + a per-vector
     * aggregate — no shuffle keyed by anything bigger than vec_id. */
-  def signCells(e: DataFrame, h: Int): DataFrame = {
-    val dirs = e.where(col("vec_id") < h)
-      .select(col("vec_id").as("i"), col("v").as("dv"))
+  def signCells(e: DataFrame, h: Int): DataFrame =
+    signCellsWith(e.where(col("vec_id") < h)
+      .select(col("vec_id").as("i"), col("v").as("dv")), e)
+
+  /** [[signCells]] with the projection directions supplied explicitly
+    * — the delta-batch form: an appender derives cells for its few
+    * vectors against the PERSISTED direction table
+    * ([[dirsTable]]) without touching the corpus at all. */
+  def signCellsWith(dirs: DataFrame, e: DataFrame): DataFrame = {
     val bits = e.join(broadcast(dirs))
       .select(col("vec_id"), col("i"),
         round(dot(col("v"), col("dv")), 6).as("dt"))
@@ -240,6 +246,132 @@ object HnswGraph {
     Sq8(coded, mn, mx)
   }
 
+  /** PQ code table for [[build]]'s pair scoring — the rung past
+    * [[Sq8]] on the broadcast-ceiling ladder (raw ~512 B/vector →
+    * sq8 ~64 B → PQ codes [[PqM]]·4 bits ≈ 4–8 B semantic payload):
+    * the s04 product quantizer applied to construction. Unit vectors
+    * split into [[PqM]] subspaces; each subspace stores the id of its
+    * nearest of [[PqEntries]] codebook entries (subspace slices of the
+    * PqEntries lowest-id unit vectors — deterministic, no trained
+    * k-means, the s04 rule), encoded exactly as s04 encodes (rounded
+    * L2² argmin, ties → lowest entry). Pair scoring needs NO vector
+    * arithmetic at all: all PqM·PqEntries² subspace dot products are
+    * precomputed on the driver and inlined as one plan literal (8·256
+    * doubles = 16 KB), so a pair's cosine is PqM table lookups — the
+    * asymmetric-distance trick with both sides quantized. `rnrm` (the
+    * reconstruction norm) is stored per code so the cosine denominator
+    * is one multiply. Edge selection gets coarser than sq8's ~1 LSB —
+    * `HnswPqBuildSpec` measures the recall cost the same way. */
+  final case class Pq(codes: DataFrame, subDots: Seq[Seq[Seq[Double]]])
+
+  /** PQ subspaces: 64-dim embeddings → 8 dims per subspace, 16 entries
+    * (4-bit codes) — 8 codes/vector, the 8 B/vector point of s04's
+    * 8–16 B design range. Codebooks are TRAINED ([[PqLloydRounds]]
+    * Lloyd rounds per subspace): entries that are arbitrary vector
+    * slices (s04's untrained rule, fine for its demonstration query)
+    * measured build recall@5 0.572 on the 6k generated corpus — the
+    * reconstruction error swamps edge selection — while two trained
+    * rounds recover it (`HnswPqBuildSpec` pins the floor). Training is
+    * cross-run DETERMINISTIC without any oracle contortions: slices
+    * quantize to floor(x·1e6) integer-valued doubles, member sums are
+    * exact (order-free), and mean = exact-sum / exact-count is one
+    * deterministic division — the s08 replay argument, reused for
+    * determinism rather than replay (a pq build has no SQL oracle; the
+    * spec pins two builds identical instead). */
+  val PqM = 16
+  val PqEntries = 16
+  val PqLloydRounds = 2
+
+  def pqCodes(e: DataFrame): Pq = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val spark = e.sparkSession
+    import spark.implicits._
+    val unit = e.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("u"))
+    val dim = unit.select(size(col("u"))).head().getInt(0)
+    require(dim % PqM == 0, s"dim $dim not divisible by $PqM subspaces")
+    val subDim = dim / PqM
+    // quantized subspace slices — the training domain (scale cancels
+    // in every cosine downstream, so nothing converts back)
+    val qsub = unit.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("u"))
+      .select(col("vec_id"), col("m"),
+        expr(s"transform(slice(u, m * $subDim + 1, $subDim), " +
+          "x -> cast(floor(x * 1000000D) as double))").as("qsv"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val l2 = round(aggregate(
+      zip_with(col("qsv"), col("cvb"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, t) => a + t), 6)
+    def assignTo(entries: DataFrame): DataFrame =
+      qsub.join(broadcast(entries), "m")
+        .select(col("vec_id"), col("m"), col("qsv"), col("pcid"),
+          l2.as("d2"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2").asc, col("pcid").asc)))
+        .where(col("rn") === 1)
+    var entries = qsub.where(col("vec_id") < PqEntries)
+      .select(col("m"), col("vec_id").cast("int").as("pcid"),
+        col("qsv").as("cvb"))
+    for (_ <- 1 to PqLloydRounds)
+      entries = assignTo(entries)
+        .groupBy(col("m"), col("pcid"))
+        .agg(graft.functions.ArrayElementSum.column(col("qsv")).as("s"),
+          count(lit(1)).cast("double").as("c"))
+        .select(col("m"), col("pcid"),
+          expr("transform(s, x -> x / c)").as("cvb"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // trained entries to the driver (M·16 rows), for the subspace-dot
+    // literal; missing pcids (emptied clusters) keep a zero row so the
+    // literal stays rectangular — codes never reference them
+    val entryRows = entries.collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray)).toSeq
+    val cb = Array.fill(PqM, PqEntries)(Array.fill(subDim)(0.0d))
+    entryRows.foreach { case (m, j, v) => cb(m)(j) = v }
+    val subDots: Seq[Seq[Seq[Double]]] = (0 until PqM).map(m =>
+      (0 until PqEntries).map(i => (0 until PqEntries).map { j =>
+        var s = 0.0d; var d = 0
+        while (d < subDim) { s += cb(m)(i)(d) * cb(m)(j)(d); d += 1 }
+        s
+      }))
+    val code = assignTo(entries)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("pcid"))))
+        .as("mc"))
+      .select(col("vec_id"),
+        expr("transform(mc, x -> cast(x.pcid as int))").as("code"))
+    val L = typedLit(subDots)
+    val codes = code.withColumn("rnrm",
+      sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0d),
+        (acc, m) => acc + element_at(element_at(element_at(L, m + 1),
+          element_at(col("code"), m + 1) + 1),
+          element_at(col("code"), m + 1) + 1))))
+    Pq(codes, subDots)
+  }
+
+  /** [[scorePairs]] over PQ codes: identical join shape, zero vector
+    * bytes anywhere — sims are [[PqM]] lookups into the inlined
+    * subspace-dot literal per pair. */
+  private def scorePairsPq(q: Pq, pairs: DataFrame): DataFrame = {
+    val L = typedLit(q.subDots)
+    def adc(cs: String, cd: String) =
+      aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0d),
+        (acc, m) => acc + element_at(element_at(element_at(L, m + 1),
+          element_at(col(cs), m + 1) + 1),
+          element_at(col(cd), m + 1) + 1))
+    pairs
+      .join(broadcast(q.codes.select(col("vec_id").as("src"),
+        col("code").as("sc"), col("rnrm").as("sn2"))), "src")
+      .join(broadcast(q.codes.select(col("vec_id").as("dst"),
+        col("code").as("dc"), col("rnrm").as("dn2"))), "dst")
+      .select(col("src"), col("dst"),
+        round(adc("sc", "dc") / (col("sn2") * col("dn2")), 6).as("sim"))
+  }
+
   /** [[scorePairs]] over byte codes: identical join shape (pairs stay
     * two longs across the shuffle; the CODE table broadcasts), sims on
     * per-pair dequantized units — cosine directly, the normalization
@@ -290,9 +422,10 @@ object HnswGraph {
     * false: s11/s12's oracle replays exact scoring. */
   def build(e: DataFrame, cells: DataFrame, m: Int = DefaultM,
       stride: Long = 8L, nnRounds: Int = DefaultNnRounds,
-      sq8: Boolean = false): DataFrame = {
+      sq8: Boolean = false, pq: Boolean = false): DataFrame = {
     val scorer: DataFrame => DataFrame =
-      if (sq8) { val q = sq8Codes(e); p => scorePairsSq8(q, p) }
+      if (pq) { val q = pqCodes(e); p => scorePairsPq(q, p) }
+      else if (sq8) { val q = sq8Codes(e); p => scorePairsSq8(q, p) }
       else p => scorePairs(e, p)
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
@@ -449,17 +582,6 @@ object HnswGraph {
           "written by HnswGraph.writeGraph/compact; rebuild it before " +
           "appending")
     }
-    val byS = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst"))
-    def topM(pairs: DataFrame): DataFrame =
-      pairs
-        .select(col("src"), col("dst"),
-          round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
-            .as("sim"))
-        .distinct()
-        .withColumn("rk", row_number().over(byS))
-        .where(col("rk") <= m)
-        .drop("rk")
     // layer 0: delta probes standing ∪ batch members of its coarse cells
     val dMemb = delta.join(cells, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
@@ -493,6 +615,169 @@ object HnswGraph {
           col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
           col("b.v").as("dv"), col("b.nrm").as("dn"))
     }
+    appendEdges(table, p0, upper, m, ptMod)()
+  }
+
+  /** Satellite tables of a standing graph, keyed off the graph table's
+    * name: cell membership (cid-hash-partitioned), the bounded
+    * layer-≥1 member set, and the sign-projection direction vectors. */
+  def membTable(table: String): String = s"${table}_memb"
+  def upperTable(table: String): String = s"${table}_upper"
+  def dirsTable(table: String): String = s"${table}_dirs"
+
+  /** Materialize the standing corpus's cell membership as a
+    * `mb = hash(cid) mod ptFor(n)`-partitioned table, plus the two tiny
+    * satellites appends need (layer-≥1 members; direction vectors) —
+    * the design BASELINE.md §r10 named: with these standing,
+    * [[appendWithMembership]] touches NO corpus-wide frame at all. One
+    * corpus⋈cells pass at write time — the same pass [[append]] paid
+    * per BATCH (its 1.2n-capped vector exchange), now paid once per
+    * build/compact. Membership is 2 rows per vector (primary +
+    * multiprobe cell), so the table is ~2× the corpus vector bytes —
+    * at 100 TB that is a big table, which is exactly why it is
+    * partitioned by the cell hash: a delta batch's probe prunes to its
+    * own cells' partitions (DPP from the broadcast delta), reading
+    * ~|delta cells|·(2n/P) rows instead of 2n. */
+  def writeMembership(e: DataFrame, cells: DataFrame, table: String,
+      n: Long): Unit = {
+    val spark = e.sparkSession
+    val p = ptFor(n)
+    val stride = strideFor(n)
+    SnapshotMerge.dropTableAndLocation(spark, membTable(table))
+    e.join(cells, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .withColumn("mb", pmod(hash(col("cid")), lit(p)).cast("int"))
+      .repartition(col("mb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("mb")
+      .format("parquet").saveAsTable(membTable(table))
+    SnapshotMerge.dropTableAndLocation(spark, upperTable(table))
+    e.where(levelOf(col("vec_id"), stride) >= 1)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(upperTable(table))
+    SnapshotMerge.dropTableAndLocation(spark, dirsTable(table))
+    e.where(col("vec_id") < bitsFor(n))
+      .select(col("vec_id"), col("v"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(dirsTable(table))
+    TableCommit.writeMarker(spark, membTable(table), "meta", n.toString)
+  }
+
+  /** [[append]] against the STANDING satellites instead of a corpus
+    * frame — the production streaming form: the delta derives its own
+    * cells from the persisted directions, probes only its cells'
+    * membership partitions (DPP from the broadcast delta — the same
+    * pruning shape as [[search]]'s hops), takes upper-layer candidates
+    * from the bounded standing upper table, and absorbs itself into
+    * the satellites inside the same commit so the NEXT batch probes
+    * it. Per-batch cost is delta-sized everywhere: no corpus-wide
+    * scan, no corpus-wide vector exchange (`QueryMetricsSpec` caps the
+    * vector-carrying shuffle records at a small multiple of |delta|,
+    * where [[append]]'s membership attach was capped at 1.2·n). */
+  def appendWithMembership(table: String, delta: DataFrame,
+      m: Int = DefaultM, stride: Long = 8L): Long = {
+    val spark = delta.sparkSession
+    val mt = membTable(table)
+    val ptMod = TableCommit.readMarker(spark, table, "meta") match {
+      case Some(v) => ptFor(v.toLong)
+      case None => throw new IllegalStateException(
+        s"graph table '$table' has no build-meta marker")
+    }
+    val p = TableCommit.readMarker(spark, mt, "meta") match {
+      case Some(v) => ptFor(v.toLong)
+      case None => throw new IllegalStateException(
+        s"membership table '$mt' has no build-meta marker — write it " +
+          "with HnswGraph.writeMembership before appending")
+    }
+    // cross-session appends — and a compact's writeMembership rebuild
+    // of all three satellites — leave this session's listings stale
+    spark.catalog.refreshTable(mt)
+    spark.catalog.refreshTable(upperTable(table))
+    spark.catalog.refreshTable(dirsTable(table))
+    val dirs = spark.table(dirsTable(table))
+      .select(col("vec_id").as("i"), col("v").as("dv"))
+    val dCells = signCellsWith(dirs, delta)
+    val dMemb = delta.join(dCells, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .withColumn("mb", pmod(hash(col("cid")), lit(p)).cast("int"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // the probe side RECOMPUTES mb rather than reusing dMemb's column:
+    // the tautological (pmod ≥ 0) bound is the selectivity marker the
+    // partition-pruning rule needs (see search's ptTagged), and over
+    // the stored column the checkpoint's own constraint makes it
+    // provably redundant — PruneFilters then deletes it and DPP never
+    // fires (measured: the probe scan lost its dynamicpruning filter)
+    val probeCells = dMemb.select(col("cid")).distinct()
+      .withColumn("mb", pmod(hash(col("cid")), lit(p)).cast("int"))
+      .where(col("mb") >= 0)
+    val sMatched = spark.table(mt)
+      .join(broadcast(probeCells), Seq("mb", "cid"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val bMemb = sMatched
+      .unionByName(dMemb.drop("mb"))
+    val p0 = broadcast(dMemb.as("a")).join(bMemb.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
+        col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
+        col("b.v").as("dv"), col("b.nrm").as("dn"))
+    def upper(layer: Int): DataFrame = {
+      val dm = delta.where(levelOf(col("vec_id"), stride) >= layer)
+      val cm = spark.table(upperTable(table))
+        .unionByName(delta.select(col("vec_id"), col("v"), col("nrm"))
+          .where(levelOf(col("vec_id"), stride) >= 1))
+        .where(levelOf(col("vec_id"), stride) >= layer)
+      broadcast(dm.as("a")).join(cm.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("a.v").as("sv"),
+          col("a.nrm").as("sn"), col("b.vec_id").as("dst"),
+          col("b.v").as("dv"), col("b.nrm").as("dn"))
+    }
+    appendEdges(table, p0, upper, m, ptMod) { () =>
+      // absorb the delta into the satellites — same epoch as the edges
+      dMemb.repartition(col("mb"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("mb")
+        .format("parquet").saveAsTable(mt)
+      val du = delta.select(col("vec_id"), col("v"), col("nrm"))
+        .where(levelOf(col("vec_id"), stride) >= 1)
+      if (!du.isEmpty)
+        du.coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(upperTable(table))
+      spark.catalog.refreshTable(mt)
+      spark.catalog.refreshTable(upperTable(table))
+    }
+  }
+
+  /** Shared tail of [[append]]/[[appendWithMembership]]: forward top-m
+    * per delta node, per-batch reverse prune, and the committed
+    * partition-spec-matching write (delta edges land as one new file
+    * per TOUCHED partition — non-touched partitions keep their files
+    * byte-identical; the per-partition file count degrades until the
+    * next [[compact]] rebuild restores one file each, exactly like
+    * IvfIndex.append's small-files story). `alsoCommit` runs inside
+    * the same commit — the membership path appends its satellite
+    * tables there so one epoch covers the whole batch. */
+  private def appendEdges(table: String, p0: DataFrame,
+      upper: Int => DataFrame, m: Int, ptMod: Long)(
+      alsoCommit: () => Unit = () => ()): Long = {
+    val spark = p0.sparkSession
+    val byS = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    def topM(pairs: DataFrame): DataFrame =
+      pairs
+        .select(col("src"), col("dst"),
+          round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
+            .as("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(byS))
+        .where(col("rk") <= m)
+        .drop("rk")
     val fwd = topM(p0).withColumn("layer", lit(0))
       .unionByName(topM(upper(1)).withColumn("layer", lit(1)))
       .unionByName(topM(upper(2)).withColumn("layer", lit(2)))
@@ -511,18 +796,13 @@ object HnswGraph {
       .distinct()
     val base = TableCommit.epochOf(spark, table)
     TableCommit.commit(spark, table, base) {
-      // match the standing table's (layer, pt) partition spec: delta
-      // edges land as one new file per TOUCHED partition — the
-      // non-touched partitions keep their files byte-identical, and the
-      // per-partition file count degrades until the next [[compact]]
-      // rebuild restores one file each, exactly like IvfIndex.append's
-      // small-files story
       edges
         .withColumn("pt", pmod(col("src"), lit(ptMod)).cast("int"))
         .repartition(col("layer"), col("pt"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("layer", "pt")
         .format("parquet").saveAsTable(table)
+      alsoCommit()
       base + 1
     }
   }

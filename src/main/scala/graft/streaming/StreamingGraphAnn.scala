@@ -136,6 +136,16 @@ object StreamingGraphAnn {
     var n = TableCommit.readMarker(spark, graphTable, "meta")
       .map(_.toLong)
       .getOrElse(spark.table(corpusTable).count())
+    // bootstrap the standing satellites (cell membership, upper-layer
+    // members, direction vectors) if this graph predates them — ONE
+    // corpus pass at stream start; thereafter every batch is
+    // delta-sized ([[HnswGraph.appendWithMembership]])
+    if (!spark.catalog.tableExists(HnswGraph.membTable(graphTable))) {
+      val standing = spark.table(corpusTable)
+      HnswGraph.writeMembership(standing,
+        HnswGraph.signCells(standing, HnswGraph.bitsFor(n)),
+        graphTable, n)
+    }
     deltas.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val applied = TableCommit
@@ -144,10 +154,7 @@ object StreamingGraphAnn {
           val delta = batch.select(col("vec_id"), col("v"))
             .withColumn("nrm",
               sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
-          val standing = spark.table(corpusTable)
-          val cells = HnswGraph.signCells(standing.unionByName(delta),
-            HnswGraph.bitsFor(n))
-          HnswGraph.append(graphTable, standing, delta, cells,
+          HnswGraph.appendWithMembership(graphTable, delta,
             m = HnswGraph.mFor(n), stride = HnswGraph.strideFor(n))
           delta.write.mode("append").format("parquet")
             .saveAsTable(corpusTable)
@@ -166,10 +173,14 @@ object StreamingGraphAnn {
               spark, graphTable, maxFilesPerBucket)) {
             val e = spark.table(corpusTable).dropDuplicates("vec_id")
             val nNow = e.count()
-            val epoch = HnswGraph.compact(graphTable, e,
-              HnswGraph.signCells(e, HnswGraph.bitsFor(nNow)),
+            val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(nNow))
+            val epoch = HnswGraph.compact(graphTable, e, cells,
               m = HnswGraph.mFor(nNow),
               stride = HnswGraph.strideFor(nNow), n = nNow)
+            // the satellites must track the rebuild: bitsFor/strideFor
+            // may have stepped, so membership cells and the upper set
+            // are re-derived from the grown corpus too
+            HnswGraph.writeMembership(e, cells, graphTable, nNow)
             n = nNow
             onCompact(epoch)
           }

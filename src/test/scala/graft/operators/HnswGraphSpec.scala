@@ -166,6 +166,81 @@ class HnswGraphSpec extends SparkSpec {
       spark.table(table).select("layer", "src", "dst")).count() === 0)
   }
 
+  test("appendWithMembership: identical edges to the corpus-frame " +
+      "append, probing only the delta's membership partitions (DPP)") {
+    import spark.implicits._
+    val m = 6
+    val e = embeddings
+    val n = e.count()
+    val stride = HnswGraph.strideFor(n)
+    val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+    val graph = HnswGraph.build(e, cells0, m = m, stride = stride)
+      .persist()
+    graph.count()
+    val tA = "hnsw_memb_a"
+    val tB = "hnsw_memb_b"
+    for (t <- Seq(tA, tB)) {
+      SnapshotMerge.dropTableAndLocation(spark, t)
+      SnapshotMerge.dropTableAndLocation(spark, HnswGraph.membTable(t))
+      SnapshotMerge.dropTableAndLocation(spark, HnswGraph.upperTable(t))
+      SnapshotMerge.dropTableAndLocation(spark, HnswGraph.dirsTable(t))
+      HnswGraph.writeGraph(graph, t, n)
+    }
+    HnswGraph.writeMembership(e, cells0, tB, n)
+    val v5 = e.where(col("vec_id") === 5L)
+      .select(col("v")).as[Seq[Double]].head()
+    val delta = (0 until 5).map { j =>
+      (400001L + j, v5.updated(j % v5.size, v5(j % v5.size) + 1e-4 * (j + 1)))
+    }.toDF("vec_id", "v")
+      .withColumn("nrm",
+        sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+    // path A: the corpus-frame append (cells over corpus ∪ delta)
+    val cellsA = HnswGraph.signCells(e.unionByName(delta),
+      HnswGraph.bitsFor(n))
+    HnswGraph.append(tA, e, delta, cellsA, m = m, stride = stride)
+    // path B: satellites only — capture executed plans for the DPP pin
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      HnswGraph.appendWithMembership(tB, delta, m = m, stride = stride)
+      var rounds = 0
+      var settled = false
+      while (!settled && rounds < 50) {
+        val snap = plans.size()
+        Thread.sleep(200)
+        settled = plans.size() == snap
+        rounds += 1
+      }
+    } finally spark.listenerManager.unregister(ql)
+    // edge parity: the two paths derive the identical delta linkage
+    val a = spark.table(tA).select("layer", "src", "dst")
+    val b = spark.table(tB).select("layer", "src", "dst")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "membership-path edges differ from the corpus-frame append's")
+    // the membership probe pruned partitions dynamically
+    import scala.jdk.CollectionConverters._
+    assert(plans.asScala.exists(p => p.contains("dynamicpruning") &&
+        p.contains("mb")),
+      "no executed plan carried a dynamicpruning filter on the " +
+        "membership partitions")
+    // satellites absorbed the delta: a second batch probing the same
+    // region sees the first batch's vectors as standing members
+    val memb = spark.table(HnswGraph.membTable(tB))
+    assert(memb.where(col("vec_id") >= 400001L).count() > 0)
+    graph.unpersist()
+    for (t <- Seq(tA, tB, HnswGraph.membTable(tB),
+        HnswGraph.upperTable(tB), HnswGraph.dirsTable(tB)))
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("a corpus too small for layer-1 edges still searches (node-0 " +
       "landing fallback): exact answers on a 10-vector graph") {
     import spark.implicits._

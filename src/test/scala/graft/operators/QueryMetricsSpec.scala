@@ -141,6 +141,57 @@ class QueryMetricsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("appendWithMembership: vector-carrying exchanges are DELTA-" +
+      "sized, not corpus-sized — the r10 1.2n membership-attach cap " +
+      "tightens to o(n)") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+        .select(col("vec_id"),
+          graft.functions.TextFunctions.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+        .persist()
+      val n = e.count()
+      val table = "metrics_memb_spec"
+      for (t <- Seq(table, HnswGraph.membTable(table),
+          HnswGraph.upperTable(table), HnswGraph.dirsTable(table)))
+        SnapshotMerge.dropTableAndLocation(spark, t)
+      val cells0 = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+      HnswGraph.writeGraph(
+        HnswGraph.build(e, cells0, m = HnswGraph.mFor(n),
+          stride = HnswGraph.strideFor(n)), table, n)
+      HnswGraph.writeMembership(e, cells0, table, n)
+      val v0 = e.where(col("vec_id") === 5L)
+        .select(col("v")).as[Seq[Double]].head()
+      val nDelta = 4
+      val delta = (0 until nDelta).map { j =>
+        (300001L + j, v0.updated(j % v0.size, v0(j % v0.size) + 1e-4))
+      }.toDF("vec_id", "v")
+        .withColumn("nrm",
+          sqrt(graft.functions.TextFunctions.dot(col("v"), col("v"))))
+      // the ONLY vector-carrying exchange is the delta's own satellite
+      // repartition (2 membership rows per delta vector) — cap it at
+      // 8·|delta|, three orders below append's n-row membership attach
+      val ((), _, vectorShuffles) =
+        QueryMetrics.auditVectorShuffles(spark,
+            benignRecordCap = 8L * nDelta) {
+          HnswGraph.appendWithMembership(table, delta,
+            m = HnswGraph.mFor(n), stride = HnswGraph.strideFor(n))
+          ()
+        }
+      assert(vectorShuffles.isEmpty,
+        "membership append moved a corpus-scale vector exchange: " +
+          vectorShuffles.mkString("; "))
+      for (t <- Seq(table, HnswGraph.membTable(table),
+          HnswGraph.upperTable(table), HnswGraph.dirsTable(table)))
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      e.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("d03's measured shuffle volume stays far below corpus bytes") {
     graft.queries.LlmQueries.clearStageCache()
     val corpusBytes = graft.Tables.load(spark, sf0001, "documents")
