@@ -75,10 +75,17 @@ object ScaleProbe {
     val qs = SparkEntry.queries
     val calib0 = calibrate1()
     // rows: (m, name, secs)
+    // SPARK_GRAFT_PROBE_STAGES: comma-separated stage-name filter for a
+    // targeted probe (e.g. the dedup families don't need the x100 graph
+    // build's minutes); unset = all stages, the full-sweep default
+    val stageFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_STAGES")
+        .map(_.split(",").toSet.map((s: String) => s.trim))
     val rows = sizes.flatMap { case (m, dir) =>
       // cold stage cache per size, then stages timed as their own rows
       graft.queries.LlmQueries.clearStageCache()
       val stageRows = graft.queries.LlmQueries.sharedStages(spark, dir)
+        .filter { case (name, _) => stageFilter.forall(_.contains(name)) }
         .map { case (name, force) =>
           val t0 = System.nanoTime()
           force()

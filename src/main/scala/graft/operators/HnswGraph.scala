@@ -44,8 +44,15 @@ import graft.functions.TextFunctions.dot
   *    BASELINE.md §r9.
   *
   * The graph is (layer, src, dst) rows — the persisted form follows the
-  * s10 "index once, probe many" pattern (bucket by src and the search
-  * hops join bucket-for-bucket).
+  * s10 "index once, probe many" pattern one step further (r11): the
+  * standing table is PARTITIONED by (layer, pt = src mod [[ptFor]]),
+  * so the landing's layer-≥1 scan prunes statically and a serving
+  * micro-batch's hop joins prune dynamically to the frontier's
+  * partitions ([[search]]'s `ptMod`/`serving`) — a 5-query batch reads
+  * a corpus-size-independent slice of the adjacency instead of all
+  * n·m rows per hop. Appends stay delta-sized end-to-end via the
+  * standing membership satellites ([[writeMembership]] /
+  * [[appendWithMembership]]).
   */
 object HnswGraph {
 

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{dot, toDouble}
+
+/** Dev probe: the r11 SERVING-READ measurement — what a small (5-query)
+  * micro-batch actually reads from the standing graph per trigger,
+  * pruned vs unpruned, across corpus scales. The r10 layout re-scanned
+  * all n·m layer-0 rows on every one of the 7 hop joins regardless of
+  * |Q| (the measured exp-1.75 batch residual); the (layer, pt) layout +
+  * frontier DPP bounds the read by the frontier's partitions, which is
+  * CONSTANT in n once ptFor's law passes its clamp. Reports, per scale:
+  * corpus n, partition modulus, layer-0 rows, per-hop pruned-scan rows
+  * ([[HnswGraph.SearchStats.hopAdjRead]] — partition-granularity, what
+  * DPP admits), their fraction of the unpruned 6·n·m, scored nodes per
+  * query, and the serving wall time pruned vs legacy. Run with
+  * `sbt "Test/runMain graft.operators.ServeProbe <out.json>
+  * <m1:dir1,...>"` (SPARK_DRIVER_MEM=48g for x100 builds). */
+object ServeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val sizes: Seq[(Long, String)] = args(1).split(",").toSeq.map { s =>
+      val Array(m, dir) = s.split(":", 2)
+      (m.toLong, dir)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.ForkFreeLocalFileSystem")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = sizes.map { case (mult, dir) =>
+      val e = graft.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .persist()
+      val n = e.count()
+      val m = HnswGraph.mFor(n)
+      val ptMod = HnswGraph.ptFor(n)
+      val table = s"serve_probe_x$mult"
+      SnapshotMerge.dropTableAndLocation(spark, table)
+      val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+      val tb0 = System.nanoTime()
+      HnswGraph.writeGraph(HnswGraph.build(e, cells, m = m,
+        stride = HnswGraph.strideFor(n)), table, n)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val adj = spark.table(table)
+      val l0 = adj.where(col("layer") === 0).count()
+      val qs = e.where(col("vec_id").isin(3L, 71L, 500L, 999L, 1332L))
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .persist()
+      qs.count()
+      def timeSearch(pt: Long, serving: Boolean,
+          stats: Option[HnswGraph.SearchStats]): Double = {
+        val t0 = System.nanoTime()
+        HnswGraph.search(adj, e, qs, ptMod = pt, serving = serving,
+          stats = stats).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm-up (codegen/JIT), then timed: pruned serving vs legacy
+      timeSearch(ptMod, serving = true, None)
+      val st = new HnswGraph.SearchStats
+      timeSearch(ptMod, serving = true, Some(st)) // stats pass (untimed)
+      val tPruned = (1 to 3).map(_ =>
+        timeSearch(ptMod, serving = true, None)).min
+      timeSearch(0L, serving = false, None)
+      val tLegacy = (1 to 3).map(_ =>
+        timeSearch(0L, serving = false, None)).min
+      val reads = st.hopAdjRead.reverse
+      val frac = reads.sum.toDouble / (l0.toDouble * reads.size)
+      println(f"[serve] x$mult n=$n m=$m P=$ptMod l0=$l0 " +
+        f"hopReads=${reads.mkString("/")} frac=$frac%.4f " +
+        f"pruned=$tPruned%.2fs legacy=$tLegacy%.2fs build=$buildSec%.1fs")
+      e.unpersist(); qs.unpersist()
+      val readsJson = reads.mkString("[", ",", "]")
+      s""""x$mult":{"n":$n,"m":$m,"pt":$ptMod,"l0_rows":$l0,""" +
+        s""""hop_rows_read":$readsJson,""" +
+        f""""read_frac_of_unpruned":$frac%.4f,""" +
+        f""""scored_per_q":${st.scoredPerQuery}%.1f,""" +
+        f""""serve_5q_pruned_sec":$tPruned%.3f,""" +
+        f""""serve_5q_legacy_sec":$tLegacy%.3f,""" +
+        f""""build_sec":$buildSec%.1f}"""
+    }
+    val json = s"""{"metric":"serving_read","queries_per_batch":5,""" +
+      s""""hops":6,${results.mkString(",")}}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
