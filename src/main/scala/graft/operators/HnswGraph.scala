@@ -135,23 +135,17 @@ object HnswGraph {
       .partitionBy("layer", "pt")
       .format("parquet").saveAsTable(table)
 
-  /** The corpus table layout that lets [[search]]'s per-hop SCORING
-    * join prune too: (vec_id, v, nrm) partitioned by the same
-    * `pt = vec_id mod ptFor(n)` law. Optional — search prunes the
-    * vector side only when the frame it is handed carries a `pt`
-    * column — but a serving deployment wants it: without it each hop
-    * re-scans every corpus vector to score a few hundred candidates. */
-  def writeCorpus(e: DataFrame, table: String, n: Long): Unit = {
-    val spark = e.sparkSession
-    SnapshotMerge.dropTableAndLocation(spark, table)
-    e.select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("pt", pmod(col("vec_id"), lit(ptFor(n))).cast("int"))
-      .repartition(col("pt"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("pt")
-      .format("parquet").saveAsTable(table)
-    TableCommit.writeMarker(spark, table, "meta", n.toString)
-  }
+  // A pt-partitioned CORPUS layout (so the per-hop scoring joins would
+  // prune the vector table like the hops prune the adjacency) was
+  // built, measured, and REMOVED in r11: at P = ptFor(n) the vector
+  // partitions are ~32 rows, and seven per-search planned scans cost
+  // more than the bytes they save on anything but cold object storage
+  // (SCALING_r11.json serving_read_corpus_variant: x100 serve 22.3 s
+  // vs 5.9 s adjacency-only), and a corpus written under an OLDER
+  // ptFor(n) than the graph's would make a single-modulus pruned join
+  // silently drop score rows. The measured numbers stay in the
+  // baseline as the reason; re-introduce only with a per-side modulus
+  // and an I/O-bound store to justify it.
 
   /** (vec_id, cid) with 2 rows per vector — the layer-0 candidate
     * constraint: cid is the h-bit string of sign(round(dot(v, dir_i),6))
@@ -991,36 +985,22 @@ object HnswGraph {
     * layout: each hop's frontier derives `pt = node mod ptMod` and the
     * expansion equi-join includes it, so the scan of the (layer, pt)-
     * partitioned adjacency prunes to the frontier's partitions.
-    * `serving = true` additionally BROADCASTS the per-hop frontier and
-    * candidate sets — correct only for micro-batch-sized query sets
-    * (the streaming server's case: |Q|·ef0 rows), where it turns the
-    * hop into a broadcast join whose DPP filter is free; a corpus-
-    * sized probe set must leave it false. If `e` carries a `pt` column
-    * ([[writeCorpus]]), the scoring join prunes the vector table the
-    * same way. */
+    * `serving = true` additionally BROADCASTS the per-hop frontier —
+    * correct only for micro-batch-sized query sets (the streaming
+    * server's case: |Q|·ef0 rows), where it turns the hop into a
+    * broadcast join whose DPP filter is free; a corpus-sized probe
+    * set must leave it false. */
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,
       efUpper: Int = DefaultEfUpper, ef0: Int = DefaultEf0, k: Int = 5,
       hops0: Int = DefaultHops0, stats: Option[SearchStats] = None,
       ptMod: Long = 0L, serving: Boolean = false)
       : DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val pruneVectors = ptMod > 0 && e.columns.contains("pt")
     // frontier columns: (q, qv, qn, node, sim)
-    def score(cands: DataFrame): DataFrame = {
-      val eSide = e.withColumnRenamed("vec_id", "node")
-      if (pruneVectors) {
-        val c = cands
-          .withColumn("pt", pmod(col("node"), lit(ptMod)).cast("int"))
-          .where(col("pt") >= 0) // selectivity marker — see ptTagged
-        val cb = if (serving) broadcast(c) else c
-        cb.join(eSide, Seq("pt", "node"))
-          .select(col("q"), col("qv"), col("qn"), col("node"),
-            sim.as("sim"))
-      } else
-        cands.join(eSide.drop("pt"), "node")
-          .select(col("q"), col("qv"), col("qn"), col("node"),
-            sim.as("sim"))
-    }
+    def score(cands: DataFrame): DataFrame =
+      cands.join(e.withColumnRenamed("vec_id", "node"), "node")
+        .select(col("q"), col("qv"), col("qn"), col("node"),
+          sim.as("sim"))
     // the frontier reaching a hop is an eager localCheckpoint, which
     // truncates its lineage to a bare LogicalRDD — erasing the
     // `rk <= ef` Filter that made it selective. Spark's partition-

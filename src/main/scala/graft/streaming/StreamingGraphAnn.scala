@@ -172,6 +172,7 @@ object StreamingGraphAnn {
           if (CompactPolicy.shouldCompact(
               spark, graphTable, maxFilesPerBucket)) {
             val e = spark.table(corpusTable).dropDuplicates("vec_id")
+              .select(col("vec_id"), col("v"), col("nrm"))
             val nNow = e.count()
             val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(nNow))
             val epoch = HnswGraph.compact(graphTable, e, cells,
