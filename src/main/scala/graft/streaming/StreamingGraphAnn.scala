@@ -49,10 +49,8 @@ object StreamingGraphAnn {
   }
 
   /** Serve `queries` (vec_id, v: array<double>) against graph `table`
-    * over `corpus` (vec_id, v, nrm — give it a `pt` column via
-    * [[HnswGraph.writeCorpus]] and the scoring joins prune too):
-    * every micro-batch beam-descends via [[HnswGraph.search]] and
-    * hands (q, rk, nb, sim) to `sink`. */
+    * over `corpus` (vec_id, v, nrm): every micro-batch beam-descends
+    * via [[HnswGraph.search]] and hands (q, rk, nb, sim) to `sink`. */
   def serve(queries: DataFrame, corpus: DataFrame, table: String,
       efUpper: Int = HnswGraph.DefaultEfUpper,
       ef0: Int = HnswGraph.DefaultEf0, k: Int = 5)(
