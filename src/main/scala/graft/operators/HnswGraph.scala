@@ -996,11 +996,22 @@ object HnswGraph {
       ptMod: Long = 0L, serving: Boolean = false)
       : DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    // frontier columns: (q, qv, qn, node, sim)
-    def score(cands: DataFrame): DataFrame =
-      cands.join(e.withColumnRenamed("vec_id", "node"), "node")
-        .select(col("q"), col("qv"), col("qn"), col("node"),
-          sim.as("sim"))
+    val qVecs = qs.select(col("q"), col("qv"), col("qn"))
+    // frontiers are SLIM — (q, node, sim), three narrow columns. The
+    // r10 shape carried (qv, qn) in every frontier row, so each hop
+    // moved the 0.5 KB query vector through the expansion join, the
+    // vector attach AND the dedup shuffle — at x30 that is ~15 GB of
+    // qv bytes per hop where the ids are ~0.5 GB (the residual behind
+    // the batch row's exp 1.75/1.64). Vectors now meet a candidate
+    // exactly once: ids dedup first, then one attach of (v, nrm) by
+    // node and (qv, qn) by q scores the genuinely-new candidates.
+    def score(ids: DataFrame): DataFrame = {
+      val i = if (serving) broadcast(ids) else ids
+      val qside = if (serving) broadcast(qVecs) else qVecs
+      i.join(e.withColumnRenamed("vec_id", "node"), "node")
+        .join(qside, "q")
+        .select(col("q"), col("node"), sim.as("sim"))
+    }
     // the frontier reaching a hop is an eager localCheckpoint, which
     // truncates its lineage to a bare LogicalRDD — erasing the
     // `rk <= ef` Filter that made it selective. Spark's partition-
@@ -1013,17 +1024,18 @@ object HnswGraph {
       .where(col("pt") >= 0)
     def hop(frontier: DataFrame, layer: Int, ef: Int): DataFrame = {
       val adj0 = adj.where(col("layer") === layer)
+      val fIds = frontier.select(col("q"), col("node"))
       val expanded =
         if (ptMod > 0) {
-          val f = ptTagged(frontier)
+          val f = ptTagged(fIds)
           val fb = if (serving) broadcast(f) else f
           fb.join(adj0.select(col("pt"), col("src").as("node"),
               col("dst")), Seq("pt", "node"))
-            .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
-        } else frontier
+            .select(col("q"), col("dst").as("node"))
+        } else fIds
           .join(adj0.select(col("src").as("node"), col("dst")),
             Seq("node"))
-          .select(col("q"), col("qv"), col("qn"), col("dst").as("node"))
+          .select(col("q"), col("dst").as("node"))
       stats.foreach { st =>
         st.hopScored ::= expanded.count()
         st.hopAdjRead ::= (if (ptMod > 0) {
@@ -1033,10 +1045,12 @@ object HnswGraph {
           adj0.where(col("pt").isin(pts: _*)).count()
         } else adj0.count())
       }
-      val cand = score(expanded)
-        .unionByName(frontier
-          .select(col("q"), col("qv"), col("qn"), col("node"), col("sim")))
-        .distinct()
+      // already-ranked frontier members keep their sims; only the
+      // genuinely-new candidate ids pay the vector attach
+      val newIds = expanded.distinct()
+        .join(fIds, Seq("q", "node"), "left_anti")
+      val cand = score(newIds)
+        .unionByName(frontier.select(col("q"), col("node"), col("sim")))
       val w = Window.partitionBy(col("q"))
         .orderBy(col("sim").desc, col("node"))
       cand.withColumn("rk", row_number().over(w))
@@ -1063,7 +1077,7 @@ object HnswGraph {
     }
     val wE = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("node"))
-    val entry = score(qs.join(l1))
+    val entry = score(qs.select(col("q")).join(l1))
       .withColumn("rk", row_number().over(wE))
       .where(col("rk") <= efUpper).drop("rk")
       .localCheckpoint(true,
