@@ -291,6 +291,15 @@ object Cli {
         val epoch = graft.operators.HnswGraph.compact(t, e, cells,
           m = graft.operators.HnswGraph.mFor(n),
           stride = graft.operators.HnswGraph.strideFor(n), n = n)
+        // a graph with standing membership satellites must have them
+        // rebuilt from the SAME corpus + cells as the rebuilt graph
+        // (bitsFor/strideFor/ptFor may have stepped across the compact)
+        // — otherwise later appendWithMembership batches link with
+        // stale cells/stride: silent quality degradation, not a loud
+        // error. Mirrors StreamingGraphAnn.ingest's compact path.
+        if (spark.catalog.tableExists(
+            graft.operators.HnswGraph.membTable(t)))
+          graft.operators.HnswGraph.writeMembership(e, cells, t, n)
         println(s"compacted $t from $n vectors -> epoch $epoch " +
           s"(${spark.table(t).count()} edges)")
         }

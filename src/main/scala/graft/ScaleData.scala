@@ -117,6 +117,27 @@ object ScaleData {
     Emb(i, v.map(x => (x / n).toFloat), label)
   }
 
+  /** CLUSTERED-corpus variant — the geometry real embedding corpora
+    * have (text/image encoders put most of their mass near per-topic
+    * centers), where [[emb]]'s near-uniform mix (within-label
+    * cosine-to-centroid ≈ 0.07) is product quantization's ADVERSARIAL
+    * case: with no per-subspace structure to exploit, codebook
+    * reconstruction error swamps edge selection. 64 Gaussian centers,
+    * per-dimension noise σ = 0.12 → cosine-to-centroid ≈ 0.72 —
+    * clearly structured, far from degenerate (clusters still overlap;
+    * brute-force top-5 still crosses cluster boundaries). Pure in `i`
+    * like [[emb]]. The PQ build rung's past-sq8 fitness claim is
+    * MEASURED on this corpus (`HnswPqBuildSpec`'s clustered floor —
+    * the r11 verdict's missing #3), not argued. */
+  def embClustered(i: Long): Emb = {
+    val r = rng(8, i)
+    val label = r.nextInt(64)
+    val c = centroid(label)
+    val v = Array.tabulate(Dim)(d => 0.12 * r.nextGaussian() + c(d))
+    val n = math.sqrt(v.map(x => x * x).sum)
+    Emb(i, v.map(x => (x / n).toFloat), label)
+  }
+
   def writeCorpus(spark: SparkSession, outDir: String, m: Int): Unit = {
     import spark.implicits._
     val nDocs = 5000L * m

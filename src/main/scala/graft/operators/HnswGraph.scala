@@ -135,17 +135,25 @@ object HnswGraph {
       .partitionBy("layer", "pt")
       .format("parquet").saveAsTable(table)
 
-  // A pt-partitioned CORPUS layout (so the per-hop scoring joins would
-  // prune the vector table like the hops prune the adjacency) was
-  // built, measured, and REMOVED in r11: at P = ptFor(n) the vector
-  // partitions are ~32 rows, and seven per-search planned scans cost
-  // more than the bytes they save on anything but cold object storage
-  // (SCALING_r11.json serving_read_corpus_variant: x100 serve 22.3 s
-  // vs 5.9 s adjacency-only), and a corpus written under an OLDER
-  // ptFor(n) than the graph's would make a single-modulus pruned join
-  // silently drop score rows. The measured numbers stay in the
-  // baseline as the reason; re-introduce only with a per-side modulus
-  // and an I/O-bound store to justify it.
+  // DECISION (r11, closed r12): no pt-partitioned CORPUS layout — the
+  // variant (per-hop scoring joins pruning the vector table like the
+  // hops prune the adjacency) was built, measured, and REMOVED in r11:
+  // at P = ptFor(n) the vector partitions are ~32 rows, and seven
+  // per-search planned scans cost more than the bytes they save on
+  // anything but cold object storage (SCALING_r11.json
+  // serving_read_corpus_variant: x100 serve 22.3 s vs 5.9 s
+  // adjacency-only). A correctness hazard compounds the cost: a corpus
+  // written under an OLDER ptFor(n) than the graph's would make a
+  // single-modulus pruned join silently drop score rows, so any
+  // re-introduction would need a per-side persisted modulus marker.
+  // r12 made the question moot for the serving path: the driver-beam
+  // serve attaches vectors to ≤ |Q|·ef0·2m candidate ids per hop via a
+  // broadcast semi-join, so the corpus scan it would have pruned is
+  // already one columnar pass per hop with no shuffle — the remaining
+  // benefit is cold-storage byte savings only, which local measurement
+  // cannot justify. CLOSED: not worth it at any measured tier; revisit
+  // only if a future object-store deployment shows the per-hop corpus
+  // scan itself (not planning) dominating serve latency.
 
   /** (vec_id, cid) with 2 rows per vector — the layer-0 candidate
     * constraint: cid is the h-bit string of sign(round(dot(v, dir_i),6))
@@ -257,17 +265,19 @@ object HnswGraph {
     * k-means, the s04 rule), encoded exactly as s04 encodes (rounded
     * L2² argmin, ties → lowest entry). Pair scoring needs NO vector
     * arithmetic at all: all PqM·PqEntries² subspace dot products are
-    * precomputed on the driver and inlined as one plan literal (8·256
-    * doubles = 16 KB), so a pair's cosine is PqM table lookups — the
+    * precomputed on the driver and inlined as one plan literal
+    * (PqM·PqEntries² = 16·256 doubles ≈ 32 KB), so a pair's cosine is
+    * PqM table lookups — the
     * asymmetric-distance trick with both sides quantized. `rnrm` (the
     * reconstruction norm) is stored per code so the cosine denominator
     * is one multiply. Edge selection gets coarser than sq8's ~1 LSB —
     * `HnswPqBuildSpec` measures the recall cost the same way. */
   final case class Pq(codes: DataFrame, subDots: Seq[Seq[Seq[Double]]])
 
-  /** PQ subspaces: 64-dim embeddings → 8 dims per subspace, 16 entries
-    * (4-bit codes) — 8 codes/vector, the 8 B/vector point of s04's
-    * 8–16 B design range. Codebooks are TRAINED ([[PqLloydRounds]]
+  /** PQ subspaces: 64-dim embeddings → 4 dims per subspace, 16 entries
+    * (4-bit codes) — 16 codes/vector, the 8–16 B/vector point of s04's
+    * design range (BASELINE.md records trained 16×16 as the shipped
+    * config). Codebooks are TRAINED ([[PqLloydRounds]]
     * Lloyd rounds per subspace): entries that are arbitrary vector
     * slices (s04's untrained rule, fine for its demonstration query)
     * measured build recall@5 0.572 on the 6k generated corpus — the
@@ -985,16 +995,23 @@ object HnswGraph {
     * layout: each hop's frontier derives `pt = node mod ptMod` and the
     * expansion equi-join includes it, so the scan of the (layer, pt)-
     * partitioned adjacency prunes to the frontier's partitions.
-    * `serving = true` additionally BROADCASTS the per-hop frontier —
-    * correct only for micro-batch-sized query sets (the streaming
-    * server's case: |Q|·ef0 rows), where it turns the hop into a
-    * broadcast join whose DPP filter is free; a corpus-sized probe
-    * set must leave it false. */
+    * `serving = true` switches to the DRIVER-BEAM form ([[serveBeam]])
+    * — correct only for micro-batch-sized query sets (the streaming
+    * server's case: the |Q|·ef0-row frontier and the ≤ |Q|·ef0·2m
+    * scored candidates per hop round-trip through the driver); a
+    * corpus-sized probe set must leave it false. */
   def search(adj: DataFrame, e: DataFrame, qs: DataFrame,
       efUpper: Int = DefaultEfUpper, ef0: Int = DefaultEf0, k: Int = 5,
       hops0: Int = DefaultHops0, stats: Option[SearchStats] = None,
       ptMod: Long = 0L, serving: Boolean = false)
-      : DataFrame = {
+      : DataFrame =
+    if (serving) serveBeam(adj, e, qs, efUpper, ef0, k, hops0, stats,
+      ptMod)
+    else searchBatch(adj, e, qs, efUpper, ef0, k, hops0, stats, ptMod)
+
+  private def searchBatch(adj: DataFrame, e: DataFrame, qs: DataFrame,
+      efUpper: Int, ef0: Int, k: Int, hops0: Int,
+      stats: Option[SearchStats], ptMod: Long): DataFrame = {
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     val qVecs = qs.select(col("q"), col("qv"), col("qn"))
     // frontiers are SLIM — (q, node, sim), three narrow columns. The
@@ -1005,12 +1022,31 @@ object HnswGraph {
     // the batch row's exp 1.75/1.64). Vectors now meet a candidate
     // exactly once: ids dedup first, then one attach of (v, nrm) by
     // node and (qv, qn) by q scores the genuinely-new candidates.
-    def score(ids: DataFrame): DataFrame = {
-      val i = if (serving) broadcast(ids) else ids
-      val qside = if (serving) broadcast(qVecs) else qVecs
-      i.join(e.withColumnRenamed("vec_id", "node"), "node")
-        .join(qside, "q")
+    def score(ids: DataFrame): DataFrame =
+      ids.join(e.withColumnRenamed("vec_id", "node"), "node")
+        .join(qVecs, "q")
         .select(col("q"), col("node"), sim.as("sim"))
+    // Rank a candidate frame to its top `ef` per query, DEDUPING
+    // (q, node) first: duplicate vec_id rows in `e` (the streaming
+    // ingest's documented at-least-once replay window leaves
+    // byte-identical corpus rows standing until the next compact)
+    // would otherwise score the same (q, node) twice and occupy two
+    // beam ranks — serving one neighbor twice and evicting a genuine
+    // one. Replayed rows are byte-identical → identical sims → the
+    // duplicates are ADJACENT in the rank window's own (sim desc,
+    // node) order, so a lag-filter inside that window dedups with ZERO
+    // extra exchange (a dropDuplicates would re-shuffle every hop's
+    // candidates by (q, node) — measured +0.4 s on the sf0.1 s11 row).
+    def topEf(cand: DataFrame, ef: Int): DataFrame = {
+      val w = Window.partitionBy(col("q"))
+        .orderBy(col("sim").desc, col("node"))
+      cand
+        .withColumn("prevn", lag(col("node"), 1).over(w))
+        .where(col("prevn").isNull || col("prevn") =!= col("node"))
+        .drop("prevn")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= ef)
+        .drop("rk")
     }
     // the frontier reaching a hop is an eager localCheckpoint, which
     // truncates its lineage to a bare LogicalRDD — erasing the
@@ -1027,9 +1063,8 @@ object HnswGraph {
       val fIds = frontier.select(col("q"), col("node"))
       val expanded =
         if (ptMod > 0) {
-          val f = ptTagged(fIds)
-          val fb = if (serving) broadcast(f) else f
-          fb.join(adj0.select(col("pt"), col("src").as("node"),
+          ptTagged(fIds)
+            .join(adj0.select(col("pt"), col("src").as("node"),
               col("dst")), Seq("pt", "node"))
             .select(col("q"), col("dst").as("node"))
         } else fIds
@@ -1051,11 +1086,7 @@ object HnswGraph {
         .join(fIds, Seq("q", "node"), "left_anti")
       val cand = score(newIds)
         .unionByName(frontier.select(col("q"), col("node"), col("sim")))
-      val w = Window.partitionBy(col("q"))
-        .orderBy(col("sim").desc, col("node"))
-      cand.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= ef)
-        .drop("rk")
+      topEf(cand, ef)
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     }
@@ -1075,11 +1106,7 @@ object HnswGraph {
       st.queries = qs.count()
       st.landingScored = st.queries * l1.count()
     }
-    val wE = Window.partitionBy(col("q"))
-      .orderBy(col("sim").desc, col("node"))
-    val entry = score(qs.select(col("q")).join(l1))
-      .withColumn("rk", row_number().over(wE))
-      .where(col("rk") <= efUpper).drop("rk")
+    val entry = topEf(score(qs.select(col("q")).join(l1)), efUpper)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val g = (1 to hops0).foldLeft(entry)((f, _) => hop(f, 0, ef0))
@@ -1089,5 +1116,156 @@ object HnswGraph {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("q"), col("rk"), col("node").as("nb"), col("sim"))
+  }
+
+  /** The DRIVER-BEAM serving search — [[searchBatch]]'s semantics for
+    * micro-batch-sized query sets, restructured so a small serve batch
+    * pays a small CONSTANT instead of the batch path's orchestration
+    * floor. The r11 pruned serving path already read a corpus-size-
+    * independent ~318k adjacency rows per hop, yet a 5-query batch
+    * still cost a flat 5.2–6.3 s at every scale (SCALING_r11.json
+    * `serving_read`): 7 sequential Spark jobs, each with an eager
+    * localCheckpoint barrier, a window exchange+sort, and a freshly
+    * planned partitioned scan. The beam state is |Q|·ef0 slim rows —
+    * driver-resident scale — so this form keeps it ON the driver:
+    *
+    *  - the frontier is a local relation (no checkpoint, no lineage
+    *    blow-up — each hop's plan starts from a literal);
+    *  - the frontier's partitions are known on the driver, so the hop
+    *    scan is STATICALLY pruned (`pt IN (...)` partition filter at
+    *    plan time — stronger than the r11 broadcast-DPP, which needed
+    *    the `pt >= 0` PruneFilters workaround to fire at all);
+    *  - per hop ONE job runs expansion + scoring fused — adjacency
+    *    scan (pruned) ⋈ broadcast(frontier) broadcast back onto one
+    *    columnar corpus pass ⋈ broadcast(query vectors) — with zero
+    *    shuffle exchanges; the ≤ |Q|·ef0·2m scored rows collect and
+    *    the beam re-rank (sim desc, node asc — row_number's exact
+    *    order) runs in driver memory;
+    *  - duplicate (q, node) rows — possible only from the ingest
+    *    replay window's byte-identical corpus duplicates — dedup on
+    *    the driver, mirroring [[searchBatch]]'s score() dedup.
+    *
+    * Sims are computed by the SAME Spark expressions (6-rounded
+    * cosines) and ranked with the same comparator, so results are
+    * bit-identical to [[searchBatch]] — pinned by `HnswPruneSpec` and
+    * `ScaleRecallGateSpec`. Scale contract: |Q| must be micro-batch-
+    * sized (the streaming server's case); per-hop driver traffic is
+    * |Q|·ef0·2m id-width rows (~37 KB/query), and the cluster-side
+    * work per hop is one pruned adjacency scan + one corpus pass —
+    * corpus-size-independent reads once [[ptFor]]'s law passes its
+    * clamp, exactly as the r11 layout measured. */
+  private def serveBeam(adj: DataFrame, e: DataFrame, qs: DataFrame,
+      efUpper: Int, ef0: Int, k: Int, hops0: Int,
+      stats: Option[SearchStats], ptMod: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType,
+      StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = adj.sparkSession
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    // ONE collect of the micro-batch query vectors; every hop's scoring
+    // join reuses them as a broadcast local relation (the streaming
+    // source is never re-evaluated per hop)
+    val qProj = qs.select(col("q"), col("qv"), col("qn"))
+    val qRows = qProj.collect()
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
+    val e2 = e.select(col("vec_id").as("node"), col("v"), col("nrm"))
+    val idSchema = StructType(Seq(
+      StructField("q", qProj.schema("q").dataType),
+      StructField("node", e2.schema("node").dataType)))
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"non-integral id in serving search: $other")
+    }
+    // row_number's exact order: sim DESC (java Double.compare — the
+    // same total order Spark sorts doubles by), ties → node ASC
+    def beamOrder(a: (Any, Any, Double), b: (Any, Any, Double)): Boolean = {
+      val c = java.lang.Double.compare(b._3, a._3)
+      if (c != 0) c < 0 else asLong(a._2) < asLong(b._2)
+    }
+    // per-q top-`keep` with the (q, node) dedup (identical replayed
+    // rows → identical sims, so keep-any is deterministic in effect)
+    def topPerQ(rows: Seq[(Any, Any, Double)], keep: Int)
+        : Seq[(Any, Any, Double)] =
+      rows.groupBy(_._1).valuesIterator.flatMap { rs =>
+        rs.distinctBy(r => (r._1, r._2)).sortWith(beamOrder).take(keep)
+      }.toSeq
+    def collect3(df: DataFrame): Seq[(Any, Any, Double)] =
+      df.collect().toSeq.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    // LANDING (two jobs, both shuffle-free): the layer-≥1 member ids
+    // are ABSOLUTELY bounded (strideFor: ≤ ~864 at any corpus size) —
+    // collect them (one statically layer-pruned scan) and dedup on the
+    // driver, then score them exactly: e2 is the streamed side, the
+    // bounded id set ∪ the node-0 fallback (see searchBatch's scaladoc)
+    // and the query vectors broadcast as local relations
+    val zeroId: Any = e2.schema("node").dataType match {
+      case org.apache.spark.sql.types.LongType => 0L
+      case org.apache.spark.sql.types.IntegerType => 0
+      case dt => throw new IllegalArgumentException(
+        s"unsupported vec_id type in serving search: $dt")
+    }
+    val l1Ids = (adj.where(col("layer") >= 1).select(col("src"))
+      .collect().map(_.get(0)).toSeq :+ zeroId).distinct
+    val l1Local = spark.createDataFrame(
+      java.util.Arrays.asList(l1Ids.map(Row(_)): _*),
+      StructType(Seq(StructField("node", e2.schema("node").dataType))))
+    val entryScored = collect3(
+      e2.join(broadcast(l1Local), "node")
+        .crossJoin(broadcast(qLocal))
+        .select(col("q"), col("node"), sim.as("sim")))
+    stats.foreach { st =>
+      st.queries = qRows.length.toLong
+      st.landingScored = entryScored.size.toLong
+    }
+    var frontier = topPerQ(entryScored, efUpper)
+    // HOPS (one job each): expansion + scoring fused, zero shuffles —
+    // the expanded candidate ids broadcast straight onto the corpus pass
+    for (_ <- 1 to hops0) {
+      val fLocal = spark.createDataFrame(
+        java.util.Arrays.asList(frontier.map(t => Row(t._1, t._2)): _*),
+        idSchema)
+      val adj0 = {
+        val a = adj.where(col("layer") === 0)
+        if (ptMod > 0) {
+          // the frontier is driver-resident, so its partitions are too:
+          // a literal `pt IN (...)` prunes the scan at PLAN time — no
+          // DPP subquery, nothing for PruneFilters to delete
+          val pts = frontier
+            .map(t => (((asLong(t._2) % ptMod) + ptMod) % ptMod).toInt)
+            .distinct.map(Int.box)
+          a.where(col("pt").isin(pts: _*))
+        } else a
+      }
+      val expanded = adj0
+        .join(broadcast(fLocal.withColumnRenamed("node", "src")), "src")
+        .select(col("q"), col("dst").as("node"))
+      val scored = collect3(
+        e2.join(broadcast(expanded), "node")
+          .join(broadcast(qLocal), "q")
+          .select(col("q"), col("node"), sim.as("sim")))
+      stats.foreach { st =>
+        st.hopScored ::= scored.size.toLong
+        st.hopAdjRead ::= adj0.count()
+      }
+      frontier = topPerQ(scored ++ frontier, ef0)
+    }
+    // FINAL (no extra job): top-k per q from the driver-resident beam
+    val outSchema = StructType(Seq(
+      StructField("q", qProj.schema("q").dataType),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("nb", e2.schema("node").dataType),
+      StructField("sim", DoubleType)))
+    val outRows = frontier.groupBy(_._1).valuesIterator.flatMap { rs =>
+      rs.filter(t => asLong(t._2) != asLong(t._1))
+        .sortWith(beamOrder).take(k).zipWithIndex
+        .map { case ((q, node, s), i) => Row(q, i + 1, node, s) }
+    }.toSeq
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), outSchema)
   }
 }

@@ -148,7 +148,7 @@ object IvfIndex {
           .orderBy(col("csim").desc, col("ccid"))))
       .where(col("rn") <= w)
       .select(col("vec_id"), col("v"), col("nrm"), col("ccid"))
-    v2c.join(broadcast(c2c), "ccid")
+    val assigned = v2c.join(broadcast(c2c), "ccid")
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
           .as("csim"))
@@ -157,6 +157,30 @@ object IvfIndex {
           .orderBy(col("csim").desc, col("cid"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    // CHILDLESS-CELL GUARD (the r11 advice's finding): the final
+    // assignment inner-joins v2c⋈c2c on ccid, so a vector whose w
+    // probed learned cells ALL ended up with zero children after the
+    // c2c re-routing would get no assignment row at all — silently
+    // absent from the index, never served as a neighbor (the flat
+    // argmax can never drop a vector). A drop needs a childless cell
+    // to exist in the first place, and cell-childfulness is decidable
+    // from the TINY frames (C learned cells, K centroid routes), so
+    // the common case pays two small-row counts and nothing else;
+    // only when childless cells exist does the fallback path run —
+    // vectors with no surviving row re-route through the flat argmax
+    // ([[assign]]), so the index always covers the corpus. The S10
+    // SQL oracle mirrors the same rule (asg2's NOT-IN fallback).
+    val nChildless = learned
+      .join(c2c.select(col("ccid")).distinct(), Seq("ccid"), "left_anti")
+      .count()
+    if (nChildless == 0) assigned
+    else {
+      val kept = assigned.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val missing = vecs.select(col("vec_id"), col("v"))
+        .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      kept.unionByName(assign(missing, centroids))
+    }
   }
 
   /** Write `assigned` (payload columns + a `cid` centroid-id column) as

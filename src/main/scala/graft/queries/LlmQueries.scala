@@ -1802,7 +1802,23 @@ object LlmQueries {
     * warrants it. The cell approximation is the declared trade (same
     * accounting as s03 vs s01's brute tier); the oracle replays the
     * bucketing exactly, so approximation never reads as error. */
-  def d17SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def d17SemanticDecontaminate(s: SparkSession, dir: String): DataFrame =
+    d17Chain(s, dir, evalCap = Long.MaxValue)
+
+  /** [[d17SemanticDecontaminate]] with the eval side FROZEN to
+    * `vec_id < evalCap` — the scale-probe form. The query's own eval
+    * set is a corpus split (vec_id ≡ 0 mod 17), so the PROBE SET GROWS
+    * WITH THE CORPUS and the x100 scaling exponent carries a q·n
+    * quadratic term by construction (r11 measured 1.15 and argued it
+    * was probe geometry); freezing the eval at the x10 slice separates
+    * the ENGINE's growth (corpus-side bucketing + cell join — expected
+    * ≤ ~1) from the probe design's. `D17FixedEvalProbe` measures it;
+    * SCALING_r12.json carries the row. */
+  def d17FrozenEval(s: SparkSession, dir: String, evalCap: Long)
+      : DataFrame = d17Chain(s, dir, evalCap)
+
+  private def d17Chain(s: SparkSession, dir: String, evalCap: Long)
+      : DataFrame = {
     val K = 8
     val nProbe = 2
     val e = emb(s, dir)
@@ -1822,7 +1838,8 @@ object LlmQueries {
         row_number().over(wAsg).as("rn"))
       .where(col("rn") <= nProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val evalProbes = toCent.where(col("vec_id") % 17 === 0)
+    val evalProbes = toCent.where(col("vec_id") % 17 === 0 &&
+        col("vec_id") < evalCap)
       .select(col("vec_id").as("q"), col("v").as("qv"),
         col("nrm").as("qn"), col("cid"),
         row_number().over(wAsg).as("rn"))
@@ -3131,7 +3148,8 @@ object LlmQueries {
         |            i -> q2.qcv[i]*c0.ccv[i])),
         |          (p,q)->p+q) / (q2.qcn * c0.ccn), 6) DESC, c0.ccid) rn
         |    FROM qn2 q2 CROSS JOIN co0 c0) t WHERE rn = 1),
-        |pos2 AS (SELECT UNNEST(range(1, 65)) i),
+        |pos2 AS (SELECT UNNEST(range(1,
+        |    (SELECT max(len(v)) + 1 FROM e))) i),
         |lsums AS (SELECT ccid, i, sum(qcv[i]) lv_i
         |  FROM lasg JOIN qn2 USING(cid) CROSS JOIN pos2 GROUP BY ccid, i),
         |lrn AS (SELECT ccid, lv,
@@ -3165,6 +3183,17 @@ object LlmQueries {
         |            i -> t2.v[i]*ch.cv[i])),
         |          (p,q)->p+q) / (t2.nrm * ch.cn), 6) DESC, ch.cid) rn
         |    FROM v2c t2 JOIN c2c ch ON ch.ccid = t2.ccid) x WHERE rn = 1),
+        |asg2 AS (SELECT * FROM asg UNION ALL
+        |  SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, len(n.v)+1),
+        |            i -> n.v[i]*c.cv[i])),
+        |          (p,q)->p+q) / (n.nrm * c.cn), 6) DESC, c.cid) rn
+        |    FROM n CROSS JOIN cents c
+        |    WHERE n.vec_id NOT IN (SELECT vec_id FROM asg)) f
+        |  WHERE rn = 1),
         |tocent AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])),
@@ -3180,7 +3209,7 @@ object LlmQueries {
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*a.v[i])),
         |        (x,y)->x+y) / (p.qn * a.nrm), 6) sim
-        |  FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.q),
+        |  FROM probes p JOIN asg2 a ON a.cid = p.cid AND a.vec_id <> p.q),
         |ranked AS (SELECT q, nb, sim,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb)
         |         AS INTEGER) rk FROM scored)

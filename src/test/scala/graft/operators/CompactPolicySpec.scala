@@ -78,6 +78,26 @@ class CompactPolicySpec extends SparkSpec {
       "--max-files", "0"))
     assert(TableCommit.epochOf(spark, t) === epoch0 + 1)
     assert(CompactPolicy.maxFilesPerBucket(spark, t) === 1)
+    // standing membership satellites must be REBUILT by a CLI compact
+    // (the r11 advice's finding: a compact that leaves them derived
+    // from the pre-compact corpus makes later appendWithMembership
+    // batches link with stale cells/stride — silent quality loss).
+    // Seed deliberately-stale satellites (half the corpus), compact,
+    // and require the rebuild to cover the full corpus again.
+    val half = e.where(col("vec_id") % 2 === 0)
+    HnswGraph.writeMembership(half,
+      HnswGraph.signCells(half, HnswGraph.bitsFor(n)), t, n)
+    val membBefore = spark.table(HnswGraph.membTable(t)).count()
+    assert(membBefore < 2 * n, "stale seed must under-cover the corpus")
+    graft.Cli.run(spark, Array("table-compact",
+      "--in", "/root/testdata/sf0.001", "--table", t,
+      "--max-files", "0"))
+    spark.catalog.refreshTable(HnswGraph.membTable(t))
+    assert(spark.table(HnswGraph.membTable(t)).count() === 2 * n,
+      "CLI compact left the membership satellite stale")
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    Seq(HnswGraph.membTable(t), HnswGraph.upperTable(t),
+      HnswGraph.dirsTable(t)).foreach(st =>
+      SnapshotMerge.dropTableAndLocation(spark, st))
   }
 }

@@ -5,35 +5,45 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.functions.TextFunctions.{dot, toDouble}
 
-/** The r11 serving-read story (the r10 verdict's top item): a search
-  * over the (layer, pt)-partitioned standing graph must NOT re-scan the
-  * full n·m adjacency per hop when the query batch is micro-batch-sized
-  * — each hop prunes to the frontier's partitions, fed by the broadcast
-  * frontier (DPP), the s10 pattern applied to the graph. Three pins:
+/** The serving-read story, r12 form (the r11 verdict's top item): a
+  * micro-batch search over the (layer, pt)-partitioned standing graph
+  * must NOT re-scan the full n·m adjacency per hop — and must not pay
+  * the r11 orchestration constant either. [[HnswGraph.search]]'s
+  * `serving = true` is the driver-beam: the |Q|·ef0 frontier lives on
+  * the driver, so each hop's scan is STATICALLY pruned (a literal
+  * `pt IN (...)` partition filter at plan time — no DPP subquery,
+  * nothing for PruneFilters to delete, the fragility class the r11
+  * checkpoint-erased-constraint workaround documented) and the
+  * expansion + scoring run as one fused shuffle-free job. Four pins:
   *
-  *  1. STRUCTURE — some hop's executed plan carries a `dynamicpruning`
-  *     partition filter on the adjacency scan (the hops execute inside
-  *     search()'s eager checkpoints, so the plans are captured via a
-  *     QueryExecutionListener, not from the returned frame).
+  *  1. STRUCTURE — some hop's executed plan carries a static partition
+  *     filter on `pt` (the scan's PartitionFilters holds an IN/INSET
+  *     over the frontier's partitions), and no executed plan carries a
+  *     shuffle exchange (the hops are broadcast-only).
   *  2. VOLUME — [[HnswGraph.SearchStats.hopAdjRead]] (adjacency rows
-  *     under the frontier's partitions — what a pruned scan admits) is
-  *     bounded by the frontier's partition fraction, with the first hop
-  *     (entry width efUpper·|Q|) far below the full table. The r10
+  *     under the frontier's partitions — what the pruned scan admits)
+  *     is bounded by the frontier's partition fraction, with the first
+  *     hop (entry width efUpper·|Q|) far below the full table. The r10
   *     layout read ALL layer-0 rows every hop whatever |Q|.
-  *  3. SEMANTICS — pruned+serving results equal the unpruned search
-  *     exactly (pt = src mod P is implied by the src equi-key; pruning
-  *     changes the scan, never the answer).
+  *  3. SEMANTICS — serving results equal the unpruned batch search
+  *     exactly (pruning and the driver beam change the execution,
+  *     never the answer).
+  *  4. REPLAY — duplicate byte-identical corpus rows (the streaming
+  *     ingest's at-least-once window) change NO answer, on either
+  *     path (the r11 advice's finding: pre-fix, a duplicated row
+  *     occupied two beam ranks and evicted a genuine neighbor).
   *
   * Corpus: 6k generated vectors ([[graft.ScaleData]], pure function of
   * id — machine-independent), big enough that ptFor gives a real
   * partition count (256) while the build stays spec-sized. The
-  * x10/x30 serving fractions are measured by the scale probe
-  * (SCALING_r11.json); this is the regression gate.
+  * x10/x30/x100 serving walls are measured by [[ServeProbe]]
+  * (SCALING_r12.json); this is the regression gate.
   */
 class HnswPruneSpec extends SparkSpec {
 
-  test("serving search DPP-prunes hops to the frontier's partitions " +
-      "and answers exactly like the unpruned search") {
+  test("driver-beam serving statically prunes hops to the frontier's " +
+      "partitions, runs shuffle-free, and answers exactly like the " +
+      "unpruned batch search — with or without replayed corpus rows") {
     import spark.implicits._
     val n = 6000L
     val table = "hnsw_prune_spec"
@@ -54,12 +64,12 @@ class HnswPruneSpec extends SparkSpec {
     val l0Rows = adj.where(col("layer") === 0).count()
 
     // a 2-query serving micro-batch
-    val qs = e.where(col("vec_id").isin(71L, 1332L))
+    val qs2 = e.where(col("vec_id").isin(71L, 1332L))
       .select(col("vec_id").as("q"), col("v").as("qv"),
         col("nrm").as("qn"))
 
-    // capture every plan the hops execute (they run inside search()'s
-    // eager checkpoints), then quiesce the async listener bus
+    // capture every plan the serving jobs execute (entry + hops run as
+    // driver collects), then quiesce the async listener bus
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val ql = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
@@ -73,7 +83,7 @@ class HnswPruneSpec extends SparkSpec {
     spark.listenerManager.register(ql)
     val pruned =
       try {
-        val r = HnswGraph.search(adj, e, qs, stats = Some(stats),
+        val r = HnswGraph.search(adj, e, qs2, stats = Some(stats),
           ptMod = ptMod, serving = true).collect()
         var rounds = 0
         var settled = false
@@ -86,12 +96,22 @@ class HnswPruneSpec extends SparkSpec {
         r
       } finally spark.listenerManager.unregister(ql)
 
-    // 1. STRUCTURE: a hop scan carries the DPP partition filter
+    // 1. STRUCTURE: a hop scan carries a STATIC pt partition filter,
+    // and no serving job shuffles DATA (BroadcastExchange is the fused
+    // jobs' mechanism; SinglePartition is the stats-only count()'s
+    // scalar gather — neither moves row data by key)
     import scala.jdk.CollectionConverters._
     val hopPlans = plans.asScala.filter(_.contains("PartitionFilters"))
-    assert(hopPlans.exists(_.contains("dynamicpruning")),
-      "no hop scan carried a dynamicpruning partition filter:\n" +
+    assert(hopPlans.exists(p =>
+      p.contains("pt#") && (p.contains("INSET") || p.contains(" IN ("))),
+      "no hop scan carried a static pt IN (...) partition filter:\n" +
         hopPlans.take(2).mkString("\n---\n"))
+    val shuffling = plans.asScala.filter(p =>
+      p.linesIterator.exists(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") &&
+        !l.contains("SinglePartition")))
+    assert(shuffling.isEmpty,
+      s"a serving job shuffled:\n${shuffling.headOption.getOrElse("")}")
 
     // 2. VOLUME: per-hop adjacency reads bounded by the frontier's
     // partition fraction. Entry frontier = efUpper·|Q| = 16 nodes →
@@ -110,12 +130,23 @@ class HnswPruneSpec extends SparkSpec {
       s"total hop reads ${reads.sum} not below 55% of the unpruned " +
         s"${l0Rows * reads.size}")
 
-    // 3. SEMANTICS: identical answers with pruning off
-    val unpruned = HnswGraph.search(adj, e, qs).collect()
-    assert(pruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      .toSeq.sorted ===
-      unpruned.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-        .toSeq.sorted)
+    // 3. SEMANTICS: identical answers to the unpruned batch path
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val unpruned = HnswGraph.search(adj, e, qs2).collect()
+    assert(key(pruned) === key(unpruned))
+
+    // 4. REPLAY: byte-identical duplicate corpus rows (a replayed
+    // ingest batch before its compact) change neither path's answer
+    val dupIds = Seq(9L, 77L, 1332L, 4001L)
+    val eDup = e.unionByName(e.where(col("vec_id").isin(dupIds: _*)))
+    val servedDup = HnswGraph.search(adj, eDup, qs2,
+      ptMod = ptMod, serving = true).collect()
+    val batchDup = HnswGraph.search(adj, eDup, qs2).collect()
+    assert(key(servedDup) === key(pruned),
+      "replayed corpus rows changed the driver-beam answer")
+    assert(key(batchDup) === key(unpruned),
+      "replayed corpus rows changed the batch answer")
 
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     e.unpersist()
