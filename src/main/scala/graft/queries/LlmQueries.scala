@@ -1809,11 +1809,13 @@ object LlmQueries {
     * `vec_id < evalCap` — the scale-probe form. The query's own eval
     * set is a corpus split (vec_id ≡ 0 mod 17), so the PROBE SET GROWS
     * WITH THE CORPUS and the x100 scaling exponent carries a q·n
-    * quadratic term by construction (r11 measured 1.15 and argued it
-    * was probe geometry); freezing the eval at the x10 slice separates
-    * the ENGINE's growth (corpus-side bucketing + cell join — expected
-    * ≤ ~1) from the probe design's. `D17FixedEvalProbe` measures it;
-    * SCALING_r12.json carries the row. */
+    * quadratic term by construction (r11 measured 1.15 on the growing-
+    * eval probe). MEASURED with the eval frozen at the x10 slice
+    * (`D17FixedEvalProbe`, SCALING_r12.json): x10/x30/x100 =
+    * 3.20/2.56/4.01 s, fitted exponent **0.10** — the engine's own
+    * corpus-side growth (broadcast bucketing + cell equi-join) is
+    * near-flat at these sizes, and the r11 1.15 reading was probe
+    * geometry, now proven rather than argued. */
   def d17FrozenEval(s: SparkSession, dir: String, evalCap: Long)
       : DataFrame = d17Chain(s, dir, evalCap)
 

@@ -59,12 +59,44 @@ class ScaleRecallGateSpec extends SparkSpec {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 5).select(col("q"), col("nb"))
     val ann = HnswGraph.search(adj, e, qs).select(col("q"), col("nb"))
+      .persist()
     val recall = ann.intersect(brute).count().toDouble / (5.0 * nQ)
     info(f"x10 recall@5 = $recall%.3f over $nQ probes (m=$m)")
     assert(recall >= 0.85,
       f"recall@5 $recall%.3f at the x10 generated corpus fell below " +
         "the 0.85 scale floor — the design regressed in exactly the " +
         "way sf0.01 specs cannot see")
-    e.unpersist(); adj.unpersist(); qs.unpersist()
+
+    // the SERVING path at the same scale (the r11 verdict's item 6):
+    // the driver-beam + statically-pruned form must answer EXACTLY like
+    // the batch path over the standing partitioned layout — so its
+    // recall is the batch recall, and a pruning change that silently
+    // drops partitions (the PruneFilters/MSCK class of bug r11
+    // documented) fails here, at x10, in CI. A micro-batch-sized probe
+    // subset keeps the serving contract honest (|Q| ≤ ~32).
+    val table = "scale_gate_serving"
+    SnapshotMerge.dropTableAndLocation(spark, table)
+    HnswGraph.writeGraph(adj, table, n)
+    val standing = spark.table(table)
+    val ptMod = HnswGraph.ptFor(n)
+    val qsServe = qs.where(col("q") % 530 === 0) // 38 of the 378 probes
+    val served = HnswGraph.search(standing, e, qsServe,
+      ptMod = ptMod, serving = true)
+    val batchOnStanding = HnswGraph.search(standing, e, qsServe)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q"), col("rk"), col("nb")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(key(served) === key(batchOnStanding),
+      "serving path diverged from the batch search over the standing " +
+        "partitioned layout at x10 — pruning changed an answer")
+    val servedRecall = served.select(col("q"), col("nb"))
+      .intersect(brute.join(qsServe.select(col("q")), "q"))
+      .count().toDouble / (5.0 * qsServe.count())
+    info(f"x10 SERVING recall@5 = $servedRecall%.3f over " +
+      f"${qsServe.count()} probes")
+    assert(servedRecall >= 0.85,
+      f"serving recall@5 $servedRecall%.3f fell below the 0.85 floor")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    e.unpersist(); adj.unpersist(); qs.unpersist(); ann.unpersist()
   }
 }

@@ -49,8 +49,20 @@ object ServeProbe {
       val table = s"serve_probe_x$mult"
       // SPARK_GRAFT_SERVE_REUSE=1: keep standing tables from an earlier
       // probe run (the x100 build is ~15 min; search-variant sweeps
-      // should not pay it again)
+      // should not pay it again). A fresh JVM's in-memory catalog has
+      // forgotten the table even though its warehouse directory
+      // survived — re-register the location (external) + MSCK so reuse
+      // works across probe invocations, not only within one.
       val reuse = sys.env.get("SPARK_GRAFT_SERVE_REUSE").contains("1")
+      if (reuse && !spark.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) {
+          spark.sql(s"CREATE TABLE `$table` USING parquet LOCATION '$loc'")
+          spark.sql(s"MSCK REPAIR TABLE `$table`")
+        }
+      }
       val buildSec = if (reuse && spark.catalog.tableExists(table)) 0.0
       else {
         SnapshotMerge.dropTableAndLocation(spark, table)
