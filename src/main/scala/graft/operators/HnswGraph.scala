@@ -93,8 +93,10 @@ object HnswGraph {
     * to [64, 65536]. This is the s10 law applied to the graph — the
     * serving read bound: a search hop expands a frontier of ≤ |Q|·ef0
     * nodes, and with the adjacency partitioned on `pt = src mod P` the
-    * hop's scan prunes (DPP from the broadcast frontier) to the
-    * frontier's partitions — ≤ |Q|·ef0·(n/P)·m ≈ |Q|·ef0·32·m rows,
+    * hop's scan prunes to the frontier's partitions (statically from
+    * the driver-resident frontier in [[serveBeam]]; via DPP from the
+    * frontier's re-stated bound in the batch path's `ptTagged`) —
+    * ≤ |Q|·ef0·(n/P)·m ≈ |Q|·ef0·32·m rows,
     * CONSTANT in the corpus size once the law is past its clamp, where
     * the r10 layout re-scanned all n·m rows per hop per micro-batch
     * (the measured exp-1.75 residual). The 65536 cap keeps directory
@@ -1168,6 +1170,13 @@ object HnswGraph {
     // source is never re-evaluated per hop)
     val qProj = qs.select(col("q"), col("qv"), col("qn"))
     val qRows = qProj.collect()
+    // loud bound instead of a driver OOM: per-hop driver traffic is
+    // |Q|·ef0·2m id-width rows, fine for any micro-batch but not for a
+    // corpus-sized probe set — that caller wants the batch dataflow
+    require(qRows.length <= 65536,
+      s"serving search is for micro-batch query sets (got " +
+        s"${qRows.length} queries); pass serving = false for " +
+        "corpus-sized probe sets")
     val qLocal = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qProj.schema)
     val e2 = e.select(col("vec_id").as("node"), col("v"), col("nrm"))
@@ -1188,12 +1197,15 @@ object HnswGraph {
       val c = java.lang.Double.compare(b._3, a._3)
       if (c != 0) c < 0 else asLong(a._2) < asLong(b._2)
     }
-    // per-q top-`keep` with the (q, node) dedup (identical replayed
-    // rows → identical sims, so keep-any is deterministic in effect)
+    // per-q top-`keep` with the (q, node) dedup: sort FIRST, then keep
+    // the first (= best-ranked) copy per node — identical replayed rows
+    // have identical sims so this equals keep-any under the contract,
+    // and stays deterministic (keep-max) even if a contract-violating
+    // duplicate carried a different sim
     def topPerQ(rows: Seq[(Any, Any, Double)], keep: Int)
         : Seq[(Any, Any, Double)] =
       rows.groupBy(_._1).valuesIterator.flatMap { rs =>
-        rs.distinctBy(r => (r._1, r._2)).sortWith(beamOrder).take(keep)
+        rs.sortWith(beamOrder).distinctBy(r => r._2).take(keep)
       }.toSeq
     def collect3(df: DataFrame): Seq[(Any, Any, Double)] =
       df.collect().toSeq.map(r => (r.get(0), r.get(1), r.getDouble(2)))
@@ -1234,11 +1246,16 @@ object HnswGraph {
         if (ptMod > 0) {
           // the frontier is driver-resident, so its partitions are too:
           // a literal `pt IN (...)` prunes the scan at PLAN time — no
-          // DPP subquery, nothing for PruneFilters to delete
+          // DPP subquery, nothing for PruneFilters to delete. When the
+          // frontier already covers most partitions (a wide |Q| on a
+          // small P) the filter saves nothing and only bloats the plan
+          // literal — skip it; pruning changes the scan, never the
+          // answer, so the two branches are result-identical.
           val pts = frontier
             .map(t => (((asLong(t._2) % ptMod) + ptMod) % ptMod).toInt)
             .distinct.map(Int.box)
-          a.where(col("pt").isin(pts: _*))
+          if (pts.size.toLong * 4 >= ptMod * 3) a
+          else a.where(col("pt").isin(pts: _*))
         } else a
       }
       val expanded = adj0
