@@ -1024,9 +1024,22 @@ object HnswGraph {
     // the batch row's exp 1.75/1.64). Vectors now meet a candidate
     // exactly once: ids dedup first, then one attach of (v, nrm) by
     // node and (qv, qn) by q scores the genuinely-new candidates.
+    // qVecs is explicitly BROADCAST: the candidate intermediate
+    // (q, node, v, nrm) is |Q|·ef0·2m rows CARRYING the 0.5 KB corpus
+    // vector, and without the hint the q-join silently degrades to a
+    // shuffle join the moment the query-vector frame crosses the 10 MB
+    // auto-broadcast default — |Q| ≈ 20k at 64 dims — exchanging tens
+    // of GB of vector bytes per hop (measured at x100, |Q| = 28.6k:
+    // 263.8 → 97.4 s for the full search, the x30→x100 slope dropping
+    // from 1.87 to below the n·m work law; the r11 slim-frontier fix
+    // removed exactly this class from the frontier side, this is the
+    // query side of the same bug). Contract: the
+    // query set must be broadcastable (|Q|·~0.5 KB ≤ executor memory)
+    // — true for every serving batch and probe set; a corpus-ALL
+    // query join is the declared-quadratic brute tier's job (s01).
     def score(ids: DataFrame): DataFrame =
       ids.join(e.withColumnRenamed("vec_id", "node"), "node")
-        .join(qVecs, "q")
+        .join(broadcast(qVecs), "q")
         .select(col("q"), col("node"), sim.as("sim"))
     // Rank a candidate frame to its top `ef` per query, DEDUPING
     // (q, node) first: duplicate vec_id rows in `e` (the streaming
