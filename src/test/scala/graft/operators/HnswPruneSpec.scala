@@ -148,6 +148,16 @@ class HnswPruneSpec extends SparkSpec {
     assert(key(batchDup) === key(unpruned),
       "replayed corpus rows changed the batch answer")
 
+    // EDGE: an empty serving micro-batch (a trigger with no queries)
+    // returns an empty frame with the result schema on both paths —
+    // no exception, no degenerate plan
+    val emptyQs = qs2.where(lit(false))
+    val servedEmpty = HnswGraph.search(adj, e, emptyQs,
+      ptMod = ptMod, serving = true)
+    assert(servedEmpty.columns.toSeq === Seq("q", "rk", "nb", "sim"))
+    assert(servedEmpty.count() === 0)
+    assert(HnswGraph.search(adj, e, emptyQs).count() === 0)
+
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     e.unpersist()
   }
