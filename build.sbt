@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures sbt stdout and json-parses the LAST line of a
+// 2000-char tail. Two things used to land behind / around the bench's
+// machine-readable contract line and break that parse every round:
+//  (a) sbt's log prefix on forked-run output ("[info] {json}") — route the
+//      forked process stdout straight through instead;
+//  (b) sbt's trailing "[success] Total time: …" line — suppress it.
+// After these, Bench's println(contract) is the final stdout line.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

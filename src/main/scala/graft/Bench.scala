@@ -281,12 +281,20 @@ object Bench {
     // decapitated for the third round running; the per-query map
     // already lives whole in `out`, so the contract line carries only
     // the headline scalars (~200 bytes) and points at the file.
+    // "errors" carries the r11-contract failed-name list alongside the
+    // r12 _n counts (consumers of either schema read it); capped at 8
+    // names so a mass failure can never push the line past the
+    // require() below — the full list is always in `out`.
+    val errNames = (stageRows ++ results).filterNot(_._3).map(_._1)
+    val errList = (errNames.take(8).map("\"" + _ + "\"") ++
+      (if (errNames.size > 8) Seq("\"...\"") else Nil))
+      .mkString("[", ",", "]")
     val contract =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""queries_ok_n":${results.count(_._3)},""" +
       s""""queries_n":${results.size},""" +
       s""""stages_n":${stageRows.size},""" +
-      s""""errors_n":${(stageRows ++ results).count(!_._3)},""" +
+      s""""errors_n":${errNames.size},"errors":$errList,""" +
       s""""images_per_sec":${ms(imagesPerSec)},"sf":"$sfDir",""" +
       s""""detail":"$out"}"""
     require(contract.length < 1000,

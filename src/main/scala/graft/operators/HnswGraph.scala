@@ -313,7 +313,7 @@ object HnswGraph {
         expr(s"transform(slice(u, m * $subDim + 1, $subDim), " +
           "x -> cast(floor(x * 1000000D) as double))").as("qsv"))
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l2 = round(aggregate(
       zip_with(col("qsv"), col("cvb"), (x, y) => (x - y) * (x - y)),
       lit(0.0d), (a, t) => a + t), 6)
@@ -336,7 +336,7 @@ object HnswGraph {
         .select(col("m"), col("pcid"),
           expr("transform(s, x -> x / c)").as("cvb"))
         .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // trained entries to the driver (M·16 rows), for the subspace-dot
     // literal; missing pcids (emptied clusters) keep a zero row so the
     // literal stays rectangular — codes never reference them
@@ -483,7 +483,7 @@ object HnswGraph {
     var l0 = topM2(p0, 2 * m)
       .withColumn("rk", row_number().over(byS))
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to nnRounds) {
       val sym = l0.select(col("src"), col("dst"))
         .unionByName(l0.select(col("dst").as("src"), col("src").as("dst")))
@@ -497,7 +497,7 @@ object HnswGraph {
         .withColumn("rk", row_number().over(byS))
         .where(col("rk") <= 2 * m)
         .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // DIVERSITY (RNG-rule) prune — the piece that makes a proximity
     // graph NAVIGABLE rather than merely accurate (Malkov's
@@ -528,7 +528,7 @@ object HnswGraph {
       .where(col("rk2") <= m)
       .select(col("src"), col("dst"), col("sim"))
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // upper layers: ABSOLUTELY bounded by the stride rule (≤ ~768 and
     // ~96 members whatever the corpus size) → exact within-layer
     // selection stays constant-cost as the corpus grows
@@ -694,17 +694,33 @@ object HnswGraph {
       m: Int = DefaultM, stride: Long = 8L): Long = {
     val spark = delta.sparkSession
     val mt = membTable(table)
-    val ptMod = TableCommit.readMarker(spark, table, "meta") match {
-      case Some(v) => ptFor(v.toLong)
+    val nGraph = TableCommit.readMarker(spark, table, "meta") match {
+      case Some(v) => v.toLong
       case None => throw new IllegalStateException(
         s"graph table '$table' has no build-meta marker")
     }
-    val p = TableCommit.readMarker(spark, mt, "meta") match {
-      case Some(v) => ptFor(v.toLong)
+    val nMemb = TableCommit.readMarker(spark, mt, "meta") match {
+      case Some(v) => v.toLong
       case None => throw new IllegalStateException(
         s"membership table '$mt' has no build-meta marker — write it " +
           "with HnswGraph.writeMembership before appending")
     }
+    // Both markers carry the n the artifact was LAST built from, and
+    // every healthy flow writes them with the same value (build,
+    // streaming bootstrap, compact+rebuild). A crash between a
+    // compact's graph swap and its writeMembership rebuild leaves them
+    // disagreeing — and nothing downstream would notice: appends would
+    // link with stale cells/stride, a silent quality bleed. Fail loudly
+    // instead; recovery is re-running writeMembership from the current
+    // corpus (what the crashed step was about to do).
+    if (nGraph != nMemb) throw new IllegalStateException(
+      s"graph '$table' (build-meta n=$nGraph) and its membership " +
+        s"satellites (n=$nMemb) disagree — a compact likely crashed " +
+        "between the graph swap and the satellite rebuild; re-run " +
+        "HnswGraph.writeMembership from the current corpus before " +
+        "appending")
+    val ptMod = ptFor(nGraph)
+    val p = ptFor(nMemb)
     // cross-session appends — and a compact's writeMembership rebuild
     // of all three satellites — leave this session's listings stale
     spark.catalog.refreshTable(mt)
@@ -717,7 +733,7 @@ object HnswGraph {
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
       .withColumn("mb", pmod(hash(col("cid")), lit(p)).cast("int"))
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the probe side RECOMPUTES mb rather than reusing dMemb's column:
     // the tautological (pmod ≥ 0) bound is the selectivity marker the
     // partition-pruning rule needs (see search's ptTagged), and over
@@ -1103,7 +1119,7 @@ object HnswGraph {
         .unionByName(frontier.select(col("q"), col("node"), col("sim")))
       topEf(cand, ef)
         .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // landing: exact scan of the bounded layer-≥1 sample (see
     // scaladoc). Node 0 is unioned unconditionally: a corpus smaller
@@ -1123,7 +1139,7 @@ object HnswGraph {
     }
     val entry = topEf(score(qs.select(col("q")).join(l1)), efUpper)
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = (1 to hops0).foldLeft(entry)((f, _) => hop(f, 0, ef0))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("sim").desc, col("node"))
@@ -1204,6 +1220,18 @@ object HnswGraph {
       case other => throw new IllegalArgumentException(
         s"non-integral id in serving search: $other")
     }
+    // id equality across numeric widths WITHOUT asLong: query ids are
+    // not part of the integral-node-id contract (searchBatch compares
+    // node =!= q generically), so the self-exclusion must not throw on
+    // a non-integral q — numeric pairs compare by value, anything else
+    // by boxed equality (never equal to an integral node id, i.e. no
+    // exclusion — the right degenerate answer for a q outside the
+    // corpus id space).
+    def sameId(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.longValue == y.longValue
+      case _ => a == b
+    }
     // row_number's exact order: sim DESC (java Double.compare — the
     // same total order Spark sorts doubles by), ties → node ASC
     def beamOrder(a: (Any, Any, Double), b: (Any, Any, Double)): Boolean = {
@@ -1248,9 +1276,32 @@ object HnswGraph {
       st.landingScored = entryScored.size.toLong
     }
     var frontier = topPerQ(entryScored, efUpper)
-    // HOPS (one job each): expansion + scoring fused, zero shuffles —
-    // the expanded candidate ids broadcast straight onto the corpus pass
-    for (_ <- 1 to hops0) {
+    // Cross-hop SEEN set + fixpoint termination — both provably
+    // result-identical to the fixed hops0 schedule, both driver-only:
+    //  - a (q, node) dropped from the hop beam can never re-enter it:
+    //    the ef0-th frontier sim is monotone non-decreasing across
+    //    hops (the beam only ever absorbs better candidates), and sims
+    //    are static — so re-scoring an already-seen pair can only lose
+    //    again, and filtering expansion against ALL seen pairs (batch
+    //    filters against the current frontier only) changes no
+    //    frontier. Seeded from the post-entry frontier, NOT all landing
+    //    candidates: the entry beam keeps efUpper < ef0, so a landing
+    //    candidate outside the entry top-efUpper may legitimately
+    //    re-enter the wider hop beam (batch re-scores it; we must too).
+    //  - once an expansion yields no unseen pair, the frontier is a
+    //    FIXPOINT: the next hop would expand the same frontier against
+    //    a seen-set that only grew — the remaining hops are identity,
+    //    so stopping early returns the identical answer (measured on
+    //    the standing x100 graph: typical micro-batches converge in
+    //    3-5 of the 6 scheduled hops; SCALING_r13.json serving rows).
+    val seen = scala.collection.mutable.HashSet[(Any, Any)]()
+    seen ++= frontier.iterator.map(t => (t._1, t._2))
+    var hopsRun = 0
+    var fixpoint = false
+    // HOPS (one expand-collect + one score job each): the deduped
+    // candidate ids broadcast straight onto the corpus pass
+    while (hopsRun < hops0 && !fixpoint) {
+      hopsRun += 1
       val fLocal = spark.createDataFrame(
         java.util.Arrays.asList(frontier.map(t => Row(t._1, t._2)): _*),
         idSchema)
@@ -1271,18 +1322,45 @@ object HnswGraph {
           else a.where(col("pt").isin(pts: _*))
         } else a
       }
-      val expanded = adj0
+      // The expansion pairs round-trip through the driver EXPLICITLY —
+      // they already did implicitly as the old broadcast(expanded)'s
+      // BroadcastExchange collect, so this adds no traffic and no jobs
+      // (expand-collect + score = the exchange's child job + the main
+      // job). Driver-side we dedup (q, node) and drop current-frontier
+      // members, mirroring searchBatch's distinct + left_anti newIds:
+      // the corpus pass then scores each genuinely-new candidate
+      // exactly once instead of paying duplicate dsts and re-scored
+      // frontier rows in the broadcast and the e2 probe.
+      val exPairs = adj0
         .join(broadcast(fLocal.withColumnRenamed("node", "src")), "src")
         .select(col("q"), col("dst").as("node"))
-      val scored = collect3(
-        e2.join(broadcast(expanded), "node")
-          .join(broadcast(qLocal), "q")
-          .select(col("q"), col("node"), sim.as("sim")))
-      stats.foreach { st =>
-        st.hopScored ::= scored.size.toLong
-        st.hopAdjRead ::= adj0.count()
+        .collect().map(r => (r.get(0), r.get(1)))
+        .distinct.filterNot(seen)
+      // the |Q|·ef0·degree bound that makes the driver beam safe, as a
+      // LOUD invariant rather than scaladoc: the graph build caps the
+      // layer-0 degree (mFor ≤ ~64 with reverse edges), so a local
+      // relation past frontier·1024 means a corpus-sized frame is
+      // about to be broadcast — fail before the driver does.
+      require(exPairs.length <= math.max(1, frontier.length) * 1024,
+        s"serving expansion exploded: ${exPairs.length} pairs from a " +
+          s"${frontier.length}-row frontier — adjacency degree is not " +
+          "bounded; use the batch dataflow (serving = false)")
+      if (exPairs.isEmpty) fixpoint = true
+      else {
+        seen ++= exPairs
+        val exLocal = spark.createDataFrame(
+          java.util.Arrays.asList(exPairs.map(p => Row(p._1, p._2)): _*),
+          idSchema)
+        val scored = collect3(
+          e2.join(broadcast(exLocal), "node")
+            .join(broadcast(qLocal), "q")
+            .select(col("q"), col("node"), sim.as("sim")))
+        stats.foreach { st =>
+          st.hopScored ::= scored.size.toLong
+          st.hopAdjRead ::= adj0.count()
+        }
+        frontier = topPerQ(scored ++ frontier, ef0)
       }
-      frontier = topPerQ(scored ++ frontier, ef0)
     }
     // FINAL (no extra job): top-k per q from the driver-resident beam
     val outSchema = StructType(Seq(
@@ -1291,7 +1369,7 @@ object HnswGraph {
       StructField("nb", e2.schema("node").dataType),
       StructField("sim", DoubleType)))
     val outRows = frontier.groupBy(_._1).valuesIterator.flatMap { rs =>
-      rs.filter(t => asLong(t._2) != asLong(t._1))
+      rs.filter(t => !sameId(t._2, t._1))
         .sortWith(beamOrder).take(k).zipWithIndex
         .map { case ((q, node, s), i) => Row(q, i + 1, node, s) }
     }.toSeq

@@ -175,8 +175,13 @@ object IvfIndex {
       .count()
     if (nChildless == 0) assigned
     else {
+      // MEMORY_AND_DISK, not MEMORY_ONLY: `assigned` is corpus-sized WITH
+      // its vectors, and a localCheckpoint truncates lineage — an evicted
+      // MEMORY_ONLY block is unrecoverable and fails the job at exactly
+      // the scale this guard exists for. Disk spill keeps the rare
+      // fallback path correct under memory pressure.
       val kept = assigned.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val missing = vecs.select(col("vec_id"), col("v"))
         .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
       kept.unionByName(assign(missing, centroids))
