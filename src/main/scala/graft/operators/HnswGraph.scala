@@ -1166,12 +1166,18 @@ object HnswGraph {
     *    scan is STATICALLY pruned (`pt IN (...)` partition filter at
     *    plan time — stronger than the r11 broadcast-DPP, which needed
     *    the `pt >= 0` PruneFilters workaround to fire at all);
-    *  - per hop ONE job runs expansion + scoring fused — adjacency
-    *    scan (pruned) ⋈ broadcast(frontier) broadcast back onto one
-    *    columnar corpus pass ⋈ broadcast(query vectors) — with zero
-    *    shuffle exchanges; the ≤ |Q|·ef0·2m scored rows collect and
-    *    the beam re-rank (sim desc, node asc — row_number's exact
-    *    order) runs in driver memory;
+    *  - per hop, the pruned adjacency scan ⋈ broadcast(frontier)
+    *    expansion COLLECTS (the same ≤ |Q|·ef0·2m id-width pairs the
+    *    old broadcast-subtree form shipped to the driver anyway),
+    *    dedups against a cross-hop seen set in driver memory, and only
+    *    the genuinely-new pairs broadcast onto one columnar corpus
+    *    pass ⋈ broadcast(query vectors) — zero shuffle exchanges; the
+    *    beam re-rank (sim desc, node asc — row_number's exact order)
+    *    runs in driver memory;
+    *  - hops stop at the beam FIXPOINT (an expansion with no unseen
+    *    pair) instead of always running the hops0 schedule — provably
+    *    the identical answer (see the in-body proof sketch), typically
+    *    saving 1–3 of the 6 scheduled hops;
     *  - duplicate (q, node) rows — possible only from the ingest
     *    replay window's byte-identical corpus duplicates — dedup on
     *    the driver, mirroring [[searchBatch]]'s score() dedup.

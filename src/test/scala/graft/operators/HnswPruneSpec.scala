@@ -161,4 +161,50 @@ class HnswPruneSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     e.unpersist()
   }
+
+  test("the driver beam refuses an unbounded-degree expansion loudly " +
+      "instead of broadcasting a corpus-sized local relation") {
+    import spark.implicits._
+    // a degenerate hand-built adjacency: one hub node with 2000
+    // out-edges — past the frontier·1024 bound no prune-built graph
+    // can reach (build caps layer-0 degree at 2m). The landing set is
+    // the node-0 fallback alone (no layer-≥1 rows), so hop 1 expands
+    // the hub directly.
+    val n = 2001L
+    val e = spark.range(n).map(i => graft.ScaleData.emb(i))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val adj = spark.range(1, n)
+      .select(lit(0L).as("src"), col("id").as("dst"),
+        lit(0).as("layer"), lit(0.5d).as("sim"))
+    val qs = e.where(col("vec_id") === 7L)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val ex = intercept[IllegalArgumentException] {
+      HnswGraph.search(adj, e, qs, serving = true).collect()
+    }
+    assert(ex.getMessage.contains("expansion exploded"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("serving accepts non-integral query ids (the r12 advice: the " +
+      "final self-exclusion must not asLong the q side)") {
+    import spark.implicits._
+    val n = 500L
+    val e = spark.range(n).map(i => graft.ScaleData.emb(i))
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+    val adj = HnswGraph.build(e, cells, m = HnswGraph.mFor(n),
+      stride = HnswGraph.strideFor(n))
+    // external query ids (a caller's request keys, not corpus vec_ids)
+    val qs = e.where(col("vec_id").isin(3L, 42L))
+      .select(concat(lit("req-"), col("vec_id")).as("q"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val served = HnswGraph.search(adj, e, qs, serving = true).collect()
+    assert(served.map(_.getString(0)).toSet === Set("req-3", "req-42"))
+    // an external id never matches a corpus node, so no self-exclusion:
+    // full k rows per query
+    assert(served.count(_.getString(0) == "req-3") === 5)
+  }
 }
