@@ -1167,17 +1167,20 @@ object HnswGraph {
     *    plan time — stronger than the r11 broadcast-DPP, which needed
     *    the `pt >= 0` PruneFilters workaround to fire at all);
     *  - per hop, the pruned adjacency scan ⋈ broadcast(frontier)
-    *    expansion COLLECTS (the same ≤ |Q|·ef0·2m id-width pairs the
-    *    old broadcast-subtree form shipped to the driver anyway),
-    *    dedups against a cross-hop seen set in driver memory, and only
-    *    the genuinely-new pairs broadcast onto one columnar corpus
-    *    pass ⋈ broadcast(query vectors) — zero shuffle exchanges; the
-    *    beam re-rank (sim desc, node asc — row_number's exact order)
-    *    runs in driver memory;
-    *  - hops stop at the beam FIXPOINT (an expansion with no unseen
-    *    pair) instead of always running the hops0 schedule — provably
-    *    the identical answer (see the in-body proof sketch), typically
-    *    saving 1–3 of the 6 scheduled hops;
+    *    expansion feeds one columnar corpus pass ⋈ broadcast(query
+    *    vectors) — zero shuffle exchanges — and the beam re-rank
+    *    (sim desc, node asc — row_number's exact order) runs in
+    *    driver memory. For |Q| ≤ 16 the expansion pairs detour
+    *    through the driver and dedup against a cross-hop seen set
+    *    before scoring (halves scored rows; measured win at 1–5
+    *    queries); larger batches keep the expansion fused as a
+    *    broadcast subtree (the explicit detour measured 21.5 → 37.6 s
+    *    at |Q| = 513 — LocalRelation plan bloat + single-threaded
+    *    boxed dedup);
+    *  - hops stop at the beam FIXPOINT (no unseen expansion pair, or
+    *    an unchanged frontier) instead of always running the hops0
+    *    schedule — provably the identical answer (see the in-body
+    *    proof sketch), typically saving 1–2 of the 6 scheduled hops;
     *  - duplicate (q, node) rows — possible only from the ingest
     *    replay window's byte-identical corpus duplicates — dedup on
     *    the driver, mirroring [[searchBatch]]'s score() dedup.
@@ -1190,7 +1193,32 @@ object HnswGraph {
     * |Q|·ef0·2m id-width rows (~37 KB/query), and the cluster-side
     * work per hop is one pruned adjacency scan + one corpus pass —
     * corpus-size-independent reads once [[ptFor]]'s law passes its
-    * clamp, exactly as the r11 layout measured. */
+    * clamp, exactly as the r11 layout measured.
+    *
+    * DECISION RECORD — the ~1.4 s single-query floor (r13). The
+    * per-trigger wall at |Q| ≤ 5 is ~13 sequential tiny Spark
+    * executions (landing id-collect + landing score + per hop an
+    * expand and a score) at ~0.1 s scheduling+planning each; the work
+    * inside them is microseconds at micro-batch scale. Measured this
+    * round on the standing x100 graph (SCALING_r13.json):
+    * the cross-hop seen-set dedup HALVED scored candidates
+    * (scored_per_q 14.3k → 7.3k) without moving the wall; the beam
+    * fixpoint rarely arrives before the 6-hop schedule ends at this
+    * geometry (new candidates keep appearing, they just keep losing);
+    * and the explicit expansion detour is a measured REGRESSION past
+    * |Q| ≈ 32 (21.5 → 37.6 s at 513 — hence the hybrid). Going below
+    * ~1 s therefore means deleting EXECUTIONS, not work: score hops on
+    * the driver against a node→(v, nrm) cache (6 of the 13 executions
+    * gone, plus the landing pair via the upper satellite). That needs
+    * (a) a bit-exact driver replica of the 6-rounded cosine and
+    * (b) a corpus-version invalidation contract the serve() API
+    * deliberately does not have (the corpus is a caller-owned
+    * DataFrame; only the caller knows when the table underneath
+    * changed — appends would silently serve stale vectors). The next
+    * consumer who needs interactive (<1 s) single-query ANN should add
+    * a ServingContext(corpusVersion) handle rather than bend this
+    * path; micro-batch pipelines amortize the constant (22.6 q/s at
+    * |Q| = 513). */
   private def serveBeam(adj: DataFrame, e: DataFrame, qs: DataFrame,
       efUpper: Int, ef0: Int, k: Int, hops0: Int,
       stats: Option[SearchStats], ptMod: Long): DataFrame = {
@@ -1304,8 +1332,23 @@ object HnswGraph {
     seen ++= frontier.iterator.map(t => (t._1, t._2))
     var hopsRun = 0
     var fixpoint = false
-    // HOPS (one expand-collect + one score job each): the deduped
-    // candidate ids broadcast straight onto the corpus pass
+    // TWO hop forms, selected by |Q| (measured on the standing x100
+    // graph — SCALING_r13.json serving_qscale):
+    //  - DRIVER-DEDUP (|Q| ≤ 16): expansion pairs collect explicitly
+    //    and dedup against `seen` before the corpus pass — halves the
+    //    scored candidate volume (scored_per_q 14.3k → 7.3k at x100,
+    //    5-query batch) and detects the fixpoint BEFORE paying the
+    //    score job; |Q| = 1 serves in 1.33 s vs the r12 1.43 s.
+    //  - FUSED (larger |Q|): the expansion stays a broadcast subtree
+    //    inside the score job — the r12 shape. The explicit round-trip
+    //    was MEASURED a regression past |Q| ≈ 32 (|Q| = 513: 21.5 →
+    //    37.6 s): a |Q|·ef0·2m-row LocalRelation per hop is plan-
+    //    serialization bloat the BroadcastExchange collect never pays,
+    //    and the single-threaded driver dedup of ~1M boxed pairs costs
+    //    more than the duplicate scoring it saves. Large batches stop
+    //    on an UNCHANGED FRONTIER instead (one score job later than
+    //    the small-|Q| detector, same fixpoint argument).
+    val driverDedup = qRows.length <= 16
     while (hopsRun < hops0 && !fixpoint) {
       hopsRun += 1
       val fLocal = spark.createDataFrame(
@@ -1328,44 +1371,54 @@ object HnswGraph {
           else a.where(col("pt").isin(pts: _*))
         } else a
       }
-      // The expansion pairs round-trip through the driver EXPLICITLY —
-      // they already did implicitly as the old broadcast(expanded)'s
-      // BroadcastExchange collect, so this adds no traffic and no jobs
-      // (expand-collect + score = the exchange's child job + the main
-      // job). Driver-side we dedup (q, node) and drop current-frontier
-      // members, mirroring searchBatch's distinct + left_anti newIds:
-      // the corpus pass then scores each genuinely-new candidate
-      // exactly once instead of paying duplicate dsts and re-scored
-      // frontier rows in the broadcast and the e2 probe.
-      val exPairs = adj0
+      val expansion = adj0
         .join(broadcast(fLocal.withColumnRenamed("node", "src")), "src")
         .select(col("q"), col("dst").as("node"))
-        .collect().map(r => (r.get(0), r.get(1)))
-        .distinct.filterNot(seen)
-      // the |Q|·ef0·degree bound that makes the driver beam safe, as a
-      // LOUD invariant rather than scaladoc: the graph build caps the
-      // layer-0 degree (mFor ≤ ~64 with reverse edges), so a local
-      // relation past frontier·1024 means a corpus-sized frame is
-      // about to be broadcast — fail before the driver does.
-      require(exPairs.length <= math.max(1, frontier.length) * 1024,
-        s"serving expansion exploded: ${exPairs.length} pairs from a " +
-          s"${frontier.length}-row frontier — adjacency degree is not " +
-          "bounded; use the batch dataflow (serving = false)")
-      if (exPairs.isEmpty) fixpoint = true
-      else {
-        seen ++= exPairs
-        val exLocal = spark.createDataFrame(
-          java.util.Arrays.asList(exPairs.map(p => Row(p._1, p._2)): _*),
-          idSchema)
+      if (driverDedup) {
+        // the pairs round-trip through the driver explicitly — the
+        // same rows the fused form's BroadcastExchange collects — then
+        // dedup against the cross-hop seen set, mirroring
+        // searchBatch's distinct + left_anti newIds
+        val exPairs = expansion
+          .collect().map(r => (r.get(0), r.get(1)))
+          .distinct.filterNot(seen)
+        // the |Q|·ef0·degree bound that makes the driver beam safe, as
+        // a LOUD invariant rather than scaladoc: the graph build caps
+        // the layer-0 degree (mFor ≤ ~64 with reverse edges), so a
+        // local relation past frontier·1024 means a corpus-sized frame
+        // is about to be broadcast — fail before the driver does.
+        require(exPairs.length <= math.max(1, frontier.length) * 1024,
+          s"serving expansion exploded: ${exPairs.length} pairs from " +
+            s"a ${frontier.length}-row frontier — adjacency degree is " +
+            "not bounded; use the batch dataflow (serving = false)")
+        if (exPairs.isEmpty) fixpoint = true
+        else {
+          seen ++= exPairs
+          val exLocal = spark.createDataFrame(
+            java.util.Arrays.asList(exPairs.map(p => Row(p._1, p._2)): _*),
+            idSchema)
+          val scored = collect3(
+            e2.join(broadcast(exLocal), "node")
+              .join(broadcast(qLocal), "q")
+              .select(col("q"), col("node"), sim.as("sim")))
+          stats.foreach { st =>
+            st.hopScored ::= scored.size.toLong
+            st.hopAdjRead ::= adj0.count()
+          }
+          frontier = topPerQ(scored ++ frontier, ef0)
+        }
+      } else {
         val scored = collect3(
-          e2.join(broadcast(exLocal), "node")
+          e2.join(broadcast(expansion), "node")
             .join(broadcast(qLocal), "q")
             .select(col("q"), col("node"), sim.as("sim")))
         stats.foreach { st =>
           st.hopScored ::= scored.size.toLong
           st.hopAdjRead ::= adj0.count()
         }
-        frontier = topPerQ(scored ++ frontier, ef0)
+        val next = topPerQ(scored ++ frontier, ef0)
+        if (next.toSet == frontier.toSet) fixpoint = true
+        frontier = next
       }
     }
     // FINAL (no extra job): top-k per q from the driver-resident beam

@@ -35,6 +35,12 @@ object HnswSweep {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "graft.ForkFreeLocalFileSystem")
+      // the x300 NN-descent pool shuffles ~4-5e9 id-pair rows; lz4
+      // spill overran this sandbox's 77 GB free twice — zstd halves
+      // the shuffle bytes for ~10-20% stage CPU (r13 measured; pass
+      // SPARK_GRAFT_SHUFFLE_CODEC=zstd for big-corpus sweeps)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
