@@ -428,6 +428,25 @@ object HnswGraph {
     * per round — linear in the corpus, each round one self-join + one
     * window, lineage truncated per round (the DupClusters pattern).
     *
+    * DISK is the round's binding resource, not CPU: one unsliced round
+    * is a single job whose ~n·(2m)² id-pair rows stay live across ~3
+    * consecutive shuffles (expansion join, candidate distinct, scoring
+    * window), so peak scratch is ~3× the pair volume — the r13 x300
+    * build (600k vectors, m=46, ~5·10⁹ pairs/round) overran this
+    * sandbox's ~80 GB free twice, with zstd shuffle compression
+    * already on. [[slicesFor]] therefore splits every round (and the
+    * diversity prune) by `src % k` into k SEQUENTIAL jobs of ≤ ~8·10⁸
+    * pairs each: a node's pool depends only on its own candidate rows,
+    * so per-slice top-2m per src is BIT-IDENTICAL to the global
+    * computation (`HnswGraphSpec` pins slices=1 ≡ slices=4 adjacency
+    * equality), each slice's shuffle files become garbage at its
+    * checkpoint boundary, and peak scratch is bounded by the slice
+    * size however large the corpus — the same bounded-scratch shape a
+    * 1000-executor cluster needs so NN-descent scratch never exceeds
+    * a fixed multiple of the slice, not of the corpus. `slices = 0`
+    * (default) derives k from n·(2m)²; pass an explicit count only in
+    * probes.
+    *
     * `sq8 = true` swaps the refinement/prune scorer for the byte-code
     * form ([[sq8Codes]]/[[scorePairsSq8]]): same dataflow, the
     * broadcast ships ~64 B/vector instead of ~512 B — the path for a
@@ -435,11 +454,27 @@ object HnswGraph {
     * false: s11/s12's oracle replays exact scoring. */
   def build(e: DataFrame, cells: DataFrame, m: Int = DefaultM,
       stride: Long = 8L, nnRounds: Int = DefaultNnRounds,
-      sq8: Boolean = false, pq: Boolean = false): DataFrame = {
+      sq8: Boolean = false, pq: Boolean = false,
+      slices: Int = 0): DataFrame = {
     val scorer: DataFrame => DataFrame =
       if (pq) { val q = pqCodes(e); p => scorePairsPq(q, p) }
       else if (sq8) { val q = sq8Codes(e); p => scorePairsSq8(q, p) }
       else p => scorePairs(e, p)
+    val sl = if (slices > 0) slices else slicesFor(e.count(), m)
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // run `f` over each src-residue slice as its OWN eagerly
+    // checkpointed job, then union: all rows of one src share a slice,
+    // so any per-src computation (top-2m window, crowd prune) is exact;
+    // the GC nudge lets the ContextCleaner delete the finished slice's
+    // shuffle files while the next slice runs (bounded scratch)
+    def bySlice(src: DataFrame, f: DataFrame => DataFrame): DataFrame =
+      if (sl <= 1) ckpt(f(src))
+      else (0 until sl).map { i =>
+        val part = ckpt(f(src.where(pmod(col("src"), lit(sl)) === i)))
+        System.gc()
+        part
+      }.reduce(_ unionByName _)
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     def topM(pairs: DataFrame, layer: Int): DataFrame =
@@ -480,24 +515,27 @@ object HnswGraph {
     // from), while the pair volume is fine once scorePairs broadcasts
     // the vectors (the x30 superlinearity was vector bytes per pair,
     // not pair count)
-    var l0 = topM2(p0, 2 * m)
-      .withColumn("rk", row_number().over(byS))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var l0 = ckpt(topM2(p0, 2 * m)
+      .withColumn("rk", row_number().over(byS)))
     for (_ <- 1 to nnRounds) {
+      // sym is re-read by every slice's expansion join (the bc side is
+      // always the FULL symmetrized graph — only the ab side slices),
+      // so persist it across the round's slice jobs
       val sym = l0.select(col("src"), col("dst"))
         .unionByName(l0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      val non = sym.as("ab").join(sym.as("bc"),
-          col("ab.dst") === col("bc.src") &&
-            col("ab.src") =!= col("bc.dst"))
-        .select(col("ab.src").as("src"), col("bc.dst").as("dst"))
-      val cand = sym.unionByName(non).distinct()
-      l0 = scorer(cand)
-        .withColumn("rk", row_number().over(byS))
-        .where(col("rk") <= 2 * m)
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (sl > 1) sym.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l0 = bySlice(sym, ab => {
+        val non = ab.as("ab").join(sym.as("bc"),
+            col("ab.dst") === col("bc.src") &&
+              col("ab.src") =!= col("bc.dst"))
+          .select(col("ab.src").as("src"), col("bc.dst").as("dst"))
+        scorer(ab.unionByName(non).distinct())
+          .withColumn("rk", row_number().over(byS))
+          .where(col("rk") <= 2 * m)
+      })
+      if (sl > 1) sym.unpersist()
     }
     // DIVERSITY (RNG-rule) prune — the piece that makes a proximity
     // graph NAVIGABLE rather than merely accurate (Malkov's
@@ -510,25 +548,30 @@ object HnswGraph {
     // recall@5 0.25 → 0.9+ at the same degree budget. Cost: pool is
     // 2m per node → ≤ n·(2m)²/2 pair scorings, linear in the corpus.
     val ranked = l0 // (src, dst, sim, rk) — rk maintained through rounds
-    val crowd = ranked.as("a").join(ranked.as("b"),
-        col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
-      .select(col("a.src").as("src"), col("a.dst").as("adst"),
-        col("a.sim").as("sima"), col("b.dst").as("bdst"))
-    val covered = scorer(crowd
-        .select(col("adst").as("src"), col("bdst").as("dst")).distinct())
-      .withColumnRenamed("sim", "simab")
-      .withColumnRenamed("src", "adst")
-      .withColumnRenamed("dst", "bdst")
-    val pruned = crowd.join(covered, Seq("adst", "bdst"))
-      .where(col("simab") > col("sima"))
-      .select(col("src"), col("adst").as("dst")).distinct()
-    l0 = ranked.join(pruned, Seq("src", "dst"), "left_anti")
-      .withColumn("rk2", row_number().over(Window
-        .partitionBy(col("src")).orderBy(col("rk"))))
-      .where(col("rk2") <= m)
-      .select(col("src"), col("dst"), col("sim"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sliced like the rounds: crowding is per-src (both crowd sides
+    // share src), so a src slice prunes exactly as the global job
+    // would; the covered-pair scoring dedups within its slice only —
+    // a (adst, bdst) pair crowding srcs in two slices is scored twice,
+    // same sim both times (bounded re-compute, zero correctness edge)
+    l0 = bySlice(ranked, rs => {
+      val crowd = rs.as("a").join(rs.as("b"),
+          col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
+        .select(col("a.src").as("src"), col("a.dst").as("adst"),
+          col("a.sim").as("sima"), col("b.dst").as("bdst"))
+      val covered = scorer(crowd
+          .select(col("adst").as("src"), col("bdst").as("dst")).distinct())
+        .withColumnRenamed("sim", "simab")
+        .withColumnRenamed("src", "adst")
+        .withColumnRenamed("dst", "bdst")
+      val pruned = crowd.join(covered, Seq("adst", "bdst"))
+        .where(col("simab") > col("sima"))
+        .select(col("src"), col("adst").as("dst")).distinct()
+      rs.join(pruned, Seq("src", "dst"), "left_anti")
+        .withColumn("rk2", row_number().over(Window
+          .partitionBy(col("src")).orderBy(col("rk"))))
+        .where(col("rk2") <= m)
+        .select(col("src"), col("dst"), col("sim"))
+    })
     // upper layers: ABSOLUTELY bounded by the stride rule (≤ ~768 and
     // ~96 members whatever the corpus size) → exact within-layer
     // selection stays constant-cost as the corpus grows
@@ -955,6 +998,28 @@ object HnswGraph {
   /** NN-descent refinement rounds in [[build]] — shared with the SQL
     * oracle generator like the schedule constants above. */
   val DefaultNnRounds = 3
+
+  /** Scratch-disk bound for one [[build]] NN-descent slice job, in
+    * candidate id-pair rows. One round holds ~3 consecutive shuffles of
+    * its pair volume live at once (expansion join, candidate distinct,
+    * scoring window), so peak scratch ≈ 3 · pairs · ~15 B compressed;
+    * 8·10⁸ keeps a slice's footprint ~15-25 GB — the r13 x300 build
+    * (5·10⁹ pairs/round unsliced) twice overran ~80 GB free before
+    * slicing, and fit with room at 7 slices. */
+  val PoolPairsPerSlice = 800000000L
+
+  /** Slice count for [[build]]'s NN-descent rounds and diversity prune
+    * over `n` vectors at degree `m`: enough src-residue slices that one
+    * slice's ~n·(2m)²/k candidate pairs stay under
+    * [[PoolPairsPerSlice]] (capped — past 64 slices per-job overhead
+    * beats scratch savings; raise the cap before building a corpus
+    * ~10× the x300 probe's on one node). Integer-only like the sibling
+    * laws. */
+  def slicesFor(n: Long, m: Int): Int = {
+    val pairs = n * (2L * m) * (2L * m)
+    val k = (pairs + PoolPairsPerSlice - 1) / PoolPairsPerSlice
+    math.min(64L, math.max(1L, k)).toInt
+  }
 
   /** Descend `qs` = (q, qv, qn) through the graph. Returns
     * (q, rk, nb, sim) — top-`k` neighbors per query, self excluded.

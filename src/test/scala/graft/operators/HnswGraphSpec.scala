@@ -30,6 +30,30 @@ class HnswGraphSpec extends SparkSpec {
     assert(HnswGraph.mFor(1L << 30) === 96)  // the 1 B scaladoc claim
   }
 
+  test("slicesFor: 1 slice until the pool passes the per-slice pair " +
+      "bound, 7 at the x300 geometry, capped at 64") {
+    assert(HnswGraph.slicesFor(500L, 16) === 1)     // sf0.01
+    assert(HnswGraph.slicesFor(20000L, 21) === 1)   // x10 CI gate
+    assert(HnswGraph.slicesFor(200000L, 36) === 2)  // x100 sweep
+    assert(HnswGraph.slicesFor(600000L, 46) === 7)  // x300 probe
+    assert(HnswGraph.slicesFor(1L << 30, 96) === 64) // cap
+  }
+
+  test("sliced NN-descent is bit-identical to the single-job build: " +
+      "a src's pool sees the same candidates either way") {
+    val e = embeddings.persist()
+    val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(e.count()))
+      .persist()
+    val one = HnswGraph.build(e, cells, m = 6, slices = 1)
+      .select(col("layer"), col("src"), col("dst"))
+    val four = HnswGraph.build(e, cells, m = 6, slices = 4)
+      .select(col("layer"), col("src"), col("dst"))
+    assert(one.count() === four.count())
+    assert(one.exceptAll(four).count() === 0L)
+    assert(four.exceptAll(one).count() === 0L)
+    e.unpersist(); cells.unpersist()
+  }
+
   test("graph shape: layered, m-bounded out-degree, nested levels") {
     val out = graft.queries.LlmQueries.s11AnnHnsw(spark, dir)
     assert(out.count() > 0) // builds + persists the graph as a side effect
