@@ -44,9 +44,13 @@ object HnswSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // generated corpora arrive as 2-3 parquet splits — without a
+    // repartition the brute-truth BroadcastNestedLoopJoin (parallelism
+    // = streamed-side partitions) runs ~3-way on a 32-core host
     val e = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(4 * cpus.toInt)
       .persist()
     val n = e.count()
     println(s"corpus: $n vectors from $dir")
@@ -70,17 +74,24 @@ object HnswSweep {
       .persist()
     brute.count()
 
+    // SPARK_GRAFT_BUILD_SQ8=1: build with the byte-code scorer — the
+    // declared rung once the raw-vector broadcast outgrows the host
+    // (r13 x300: ~300 sliced-job broadcasts of the 600k×0.5 KB raw
+    // table OOM'd a 64 GB driver; the sq8 codes are 8× smaller).
+    // Search below still re-scores with exact vectors either way.
+    val sq8 = sys.env.get("SPARK_GRAFT_BUILD_SQ8").contains("1")
     for (m <- args.lift(1).map(_.split(",").toSeq.map(_.toInt))
         .getOrElse(Seq(HnswGraph.DefaultM))) {
       val t0 = System.nanoTime()
-      val adj = HnswGraph.build(e, cells, m = m, stride = stride).persist()
+      val adj = HnswGraph.build(e, cells, m = m, stride = stride,
+        sq8 = sq8).persist()
       val edges = adj.count()
       val tBuild = (System.nanoTime() - t0) / 1e9
       // edge recall: brute top-5 pairs present as direct layer-0 edges
       val l0 = adj.where(col("layer") === 0)
         .select(col("src").as("q"), col("dst").as("nb"))
       val eHits = brute.intersect(l0).count()
-      println(f"m=$m build: $edges edges in $tBuild%.1f s " +
+      println(f"m=$m sq8=$sq8 build: $edges edges in $tBuild%.1f s " +
         f"edge_recall=${eHits.toDouble / (5.0 * nQ)}%.3f")
       def intsAt(i: Int, dflt: Seq[Int]) =
         args.lift(i).map(_.split(",").toSeq.map(_.toInt)).getOrElse(dflt)
