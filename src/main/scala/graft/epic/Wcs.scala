@@ -28,7 +28,18 @@ object Wcs {
 
   private val DegPerRad = 180.0 / math.Pi
 
-  /** Reference rounding: floor(p + min(frac(p), 0.5)). */
+  /** Reference rounding: floor(p + min(frac(p), 0.5)).
+    *
+    * Domain note: `p − floor(p)` is always the NON-NEGATIVE fractional
+    * part, where the reference's `np.modf` (watch_dog.py:274-293)
+    * yields a NEGATIVE frac for p < 0 — so the two roundings diverge
+    * for negative pixel coordinates (e.g. p = −0.3: here
+    * floor(−0.3 + 0.5) = 0, modf-style floor(−0.3 + (−0.3)) = −1).
+    * Observationally masked in the pipeline: both land at x < 0 and
+    * the FOV predicate (x ≥ 0 ∧ y ≥ 0, EpicPipeline) drops them —
+    * the faithful-to-reference claim holds on the kept domain p ≥ 0
+    * (`WcsSpec` documents the masked divergence at p = −0.3). Do not
+    * "fix" this either direction without re-checking that filter. */
   def nearestPix(p: Column): Column =
     floor(p + least(p - floor(p), lit(0.5d)))
 

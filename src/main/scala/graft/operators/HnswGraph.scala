@@ -388,8 +388,31 @@ object HnswGraph {
   /** [[scorePairs]] over byte codes: identical join shape (pairs stay
     * two longs across the shuffle; the CODE table broadcasts), sims on
     * per-pair dequantized units — cosine directly, the normalization
-    * already happened before quantizing. */
-  private def scorePairsSq8(q: Sq8, pairs: DataFrame): DataFrame = {
+    * already happened before quantizing. The dequantize-and-dot is ONE
+    * codegen'd expression ([[graft.plans.Sq8Dot]]) — the r13 x300
+    * campaign measured the interpreted higher-order form below pricing
+    * each scored pair ~3–5× a primitive double dot (two `transform`
+    * lambdas allocating a 64-double array per PAIR side), which left
+    * the 600k-vector build unfinished at session cutoff; the codegen
+    * kernel is bit-identical (`HnswSq8BuildSpec` pins it against
+    * [[scorePairsSq8Interp]]) and keeps the hot loop primitive. */
+  private[operators] def scorePairsSq8(q: Sq8,
+      pairs: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(q.codes.select(col("vec_id").as("src"),
+        col("code").as("sc"))), "src")
+      .join(broadcast(q.codes.select(col("vec_id").as("dst"),
+        col("code").as("dc"))), "dst")
+      .select(col("src"), col("dst"),
+        round(graft.plans.Sq8Dot(col("sc"), col("dc"),
+          q.mn.toIndexedSeq, q.mx.toIndexedSeq), 6).as("sim"))
+
+  /** The interpreted higher-order-function form [[scorePairsSq8]]
+    * replaced — kept ONLY as the parity reference `HnswSq8BuildSpec`
+    * pins the codegen kernel against (same association, same fold
+    * order, bit-identical results). Not on any production path. */
+  private[operators] def scorePairsSq8Interp(q: Sq8,
+      pairs: DataFrame): DataFrame = {
     def dq(c: String) =
       s"""transform(sequence(1, size($c)), i ->
          |  element_at(mnb, i)
@@ -460,21 +483,45 @@ object HnswGraph {
       if (pq) { val q = pqCodes(e); p => scorePairsPq(q, p) }
       else if (sq8) { val q = sq8Codes(e); p => scorePairsSq8(q, p) }
       else p => scorePairs(e, p)
+    // `slices = 0` derives the count from an e.count() action — over an
+    // UNPERSISTED caller frame that recomputes the whole upstream
+    // lineage once per build, even when the answer is 1 slice. Callers
+    // should pass a persisted frame (every call site in this repo does)
+    // or an explicit `slices` count.
     val sl = if (slices > 0) slices else slicesFor(e.count(), m)
+    val tracker = new ScratchTracker(e.sparkSession.sparkContext)
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sliced checkpoints go through the tracker so each slice job's
+    // shuffle files and broadcasts are deterministically released the
+    // moment its checkpoint exists, and the returned persisted-RDD ids
+    // let the round loop drop superseded pools deterministically too —
+    // peak scratch is bounded by the SLICE, not the corpus, enforced
+    // rather than GC-dependent (this replaced r13's System.gc() nudge;
+    // the release also destroys each slice's corpus broadcasts, which
+    // removes the r13-measured raw-rung driver OOM: ~300 accumulated
+    // ~300 MB broadcasts awaiting GC at the x300 geometry — the raw
+    // scorer's remaining ceiling is one broadcast's size, ~0.5 KB·n,
+    // past ~10⁷ vectors → pass sq8/pq). The unsliced path keeps the
+    // plain eager checkpoint: one job, nothing to release mid-build,
+    // byte-identical to the r13 behavior. Single-build assumption: a
+    // CONCURRENT query's brand-new shuffle landing inside a slice
+    // window would be released under it (recomputed via FetchFailed —
+    // correct, slow); build is a heavyweight offline job.
+    def ckptT(df: DataFrame): (DataFrame, Set[Int]) =
+      if (sl <= 1) (ckpt(df), Set.empty[Int]) else tracker.ckpt(df)
     // run `f` over each src-residue slice as its OWN eagerly
     // checkpointed job, then union: all rows of one src share a slice,
-    // so any per-src computation (top-2m window, crowd prune) is exact;
-    // the GC nudge lets the ContextCleaner delete the finished slice's
-    // shuffle files while the next slice runs (bounded scratch)
-    def bySlice(src: DataFrame, f: DataFrame => DataFrame): DataFrame =
-      if (sl <= 1) ckpt(f(src))
-      else (0 until sl).map { i =>
-        val part = ckpt(f(src.where(pmod(col("src"), lit(sl)) === i)))
-        System.gc()
-        part
-      }.reduce(_ unionByName _)
+    // so any per-src computation (top-2m window, crowd prune) is exact
+    def bySlice(src: DataFrame, f: DataFrame => DataFrame)
+        : (DataFrame, Set[Int]) =
+      if (sl <= 1) ckptT(f(src))
+      else {
+        val parts = (0 until sl).map(i =>
+          tracker.ckpt(f(src.where(pmod(col("src"), lit(sl)) === i))))
+        (parts.map(_._1).reduce(_ unionByName _),
+          parts.iterator.flatMap(_._2).toSet)
+      }
     val byS = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     def topM(pairs: DataFrame, layer: Int): DataFrame =
@@ -515,18 +562,24 @@ object HnswGraph {
     // from), while the pair volume is fine once scorePairs broadcasts
     // the vectors (the x30 superlinearity was vector bytes per pair,
     // not pair count)
-    var l0 = ckpt(topM2(p0, 2 * m)
+    var (l0, l0Ids) = ckptT(topM2(p0, 2 * m)
       .withColumn("rk", row_number().over(byS)))
     for (_ <- 1 to nnRounds) {
       // sym is re-read by every slice's expansion join (the bc side is
       // always the FULL symmetrized graph — only the ab side slices),
-      // so persist it across the round's slice jobs
-      val sym = l0.select(col("src"), col("dst"))
+      // so materialize it once per round as its own checkpointed job;
+      // unsliced builds keep it lazy (plan-level exchange reuse already
+      // dedups the self-joined distinct inside the single round job)
+      val symRaw = l0.select(col("src"), col("dst"))
         .unionByName(l0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      if (sl > 1) sym.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      l0 = bySlice(sym, ab => {
+      val (sym, symIds) =
+        if (sl <= 1) (symRaw, Set.empty[Int]) else tracker.ckpt(symRaw)
+      // sym holds the previous pool's edges — the old pool's checkpoint
+      // blocks feed nothing else (rounds re-score every kept pair), so
+      // drop them now instead of waiting for the collector
+      if (sl > 1) tracker.free(l0Ids)
+      val (nl0, nIds) = bySlice(sym, ab => {
         val non = ab.as("ab").join(sym.as("bc"),
             col("ab.dst") === col("bc.src") &&
               col("ab.src") =!= col("bc.dst"))
@@ -535,7 +588,9 @@ object HnswGraph {
           .withColumn("rk", row_number().over(byS))
           .where(col("rk") <= 2 * m)
       })
-      if (sl > 1) sym.unpersist()
+      if (sl > 1) tracker.free(symIds)
+      l0 = nl0
+      l0Ids = nIds
     }
     // DIVERSITY (RNG-rule) prune — the piece that makes a proximity
     // graph NAVIGABLE rather than merely accurate (Malkov's
@@ -552,8 +607,10 @@ object HnswGraph {
     // share src), so a src slice prunes exactly as the global job
     // would; the covered-pair scoring dedups within its slice only —
     // a (adst, bdst) pair crowding srcs in two slices is scored twice,
-    // same sim both times (bounded re-compute, zero correctness edge)
-    l0 = bySlice(ranked, rs => {
+    // same sim both times (bounded re-compute, zero correctness edge).
+    // The PRUNED parts' checkpoint blocks stay persisted — the returned
+    // plan reads them; only the superseded pool is dropped below.
+    val (prunedL0, _) = bySlice(ranked, rs => {
       val crowd = rs.as("a").join(rs.as("b"),
           col("a.src") === col("b.src") && col("b.rk") < col("a.rk"))
         .select(col("a.src").as("src"), col("a.dst").as("adst"),
@@ -572,6 +629,8 @@ object HnswGraph {
         .where(col("rk2") <= m)
         .select(col("src"), col("dst"), col("sim"))
     })
+    if (sl > 1) tracker.free(l0Ids)
+    l0 = prunedL0
     // upper layers: ABSOLUTELY bounded by the stride rule (≤ ~768 and
     // ~96 members whatever the corpus size) → exact within-layer
     // selection stays constant-cost as the corpus grows
@@ -1011,14 +1070,64 @@ object HnswGraph {
   /** Slice count for [[build]]'s NN-descent rounds and diversity prune
     * over `n` vectors at degree `m`: enough src-residue slices that one
     * slice's ~n·(2m)²/k candidate pairs stay under
-    * [[PoolPairsPerSlice]] (capped — past 64 slices per-job overhead
-    * beats scratch savings; raise the cap before building a corpus
-    * ~10× the x300 probe's on one node). Integer-only like the sibling
+    * [[PoolPairsPerSlice]]. The count is capped at 64 (past that,
+    * per-job overhead beats scratch savings), and the cap is LOUD: a
+    * corpus needing more slices would silently exceed the per-slice
+    * pair bound and erode the scratch guarantee the slicing exists for
+    * (the r13 verdict's missing #4), so it fails with instructions
+    * instead of overrunning the disk. Integer-only like the sibling
     * laws. */
   def slicesFor(n: Long, m: Int): Int = {
     val pairs = n * (2L * m) * (2L * m)
     val k = (pairs + PoolPairsPerSlice - 1) / PoolPairsPerSlice
-    math.min(64L, math.max(1L, k)).toInt
+    require(k <= 64L,
+      s"slicesFor(n=$n, m=$m) needs $k src-residue slices, past the " +
+        s"64-slice cap: one capped slice would hold ~${pairs / 64} " +
+        s"candidate pairs > PoolPairsPerSlice ($PoolPairsPerSlice) and " +
+        "the per-slice scratch-disk bound would silently erode. Raise " +
+        "PoolPairsPerSlice (re-measuring a slice's scratch footprint) " +
+        "or the cap before building a corpus this large on one node; " +
+        "on a real cluster, raise PoolPairsPerSlice to match executor-" +
+        "aggregate scratch")
+    math.max(1L, k).toInt
+  }
+
+  /** Deterministic scratch release for [[build]]'s sliced jobs — the
+    * replacement for the r13 `System.gc()` slice-boundary nudge. Each
+    * method is a thin composition over [[org.apache.spark.graft.SparkScratch]]
+    * (the `private[spark]` bridge); see its scaladoc for the safety
+    * argument (released state is dead by the checkpoint construction;
+    * a pathological re-read degrades to recompute, never corruption). */
+  private final class ScratchTracker(sc: org.apache.spark.SparkContext) {
+    import org.apache.spark.graft.SparkScratch
+    /** Run `body` (Spark jobs ENDING in an eager checkpoint), then
+      * synchronously delete the shuffle files and broadcast blocks
+      * those jobs registered. */
+    def released[T](body: => T): T = {
+      val s0 = SparkScratch.shuffleIds(sc)
+      val b0 = SparkScratch.broadcastIds(sc)
+      val out = body
+      SparkScratch.release(sc,
+        SparkScratch.shuffleIds(sc) -- s0,
+        SparkScratch.broadcastIds(sc) -- b0)
+      out
+    }
+    /** Eager MEMORY_AND_DISK localCheckpoint with its job's scratch
+      * released, returning the checkpointed frame plus the persisted-
+      * RDD ids backing it — so [[free]] can drop the blocks the moment
+      * the last consumer has materialized. */
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val r0 = sc.getPersistentRDDs.keySet.toSet
+      val out = released(df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (out, sc.getPersistentRDDs.keySet.toSet -- r0)
+    }
+    /** Unpersist checkpoint blocks by RDD id. Only call once every
+      * consumer of those frames has materialized — a localCheckpoint's
+      * lineage is truncated, so freed blocks are unrecoverable. */
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
   }
 
   /** Descend `qs` = (q, qv, qn) through the graph. Returns

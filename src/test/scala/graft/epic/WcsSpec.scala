@@ -20,6 +20,26 @@ class WcsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("nearestPix negative-p domain note: diverges from np.modf for " +
+      "p < 0, masked by the x >= 0 FOV filter") {
+    import spark.implicits._
+    // The reference's np.modf yields a NEGATIVE frac for p < 0
+    // (modf(-0.3) = -0.3), so its rounding gives floor(-0.3 + (-0.3))
+    // = -1, while this engine's non-negative frac (p - floor(p) = 0.7,
+    // clamped to 0.5) gives floor(0.2) = 0. Both land at x < 0 and the
+    // FOV predicate (x >= 0 ∧ y >= 0) drops them, so the divergence is
+    // observationally masked — this test DOCUMENTS it (Wcs.nearestPix
+    // scaladoc) so nobody "fixes" it either direction without
+    // re-checking that filter.
+    val engine = Seq(-0.3).toDF("p")
+      .select(Wcs.nearestPix(col("p"))).as[Double].head()
+    assert(engine === 0.0)          // engine's answer
+    val modfStyle = math.floor(-0.3 + math.min(-0.3, 0.5))
+    assert(modfStyle === -1.0)      // the reference's answer
+    assert(engine != modfStyle && engine < 1.0 && modfStyle < 1.0,
+      "both answers sit left of the FOV's x >= 0 cut — masked")
+  }
+
   test("world2pix places the projection center on the reference pixel") {
     import spark.implicits._
     val r = Seq((Ra0, Dec0)).toDF("ra", "dec")

@@ -31,12 +31,23 @@ class HnswGraphSpec extends SparkSpec {
   }
 
   test("slicesFor: 1 slice until the pool passes the per-slice pair " +
-      "bound, 7 at the x300 geometry, capped at 64") {
+      "bound, 7 at the x300 geometry, LOUD past the 64-slice cap") {
     assert(HnswGraph.slicesFor(500L, 16) === 1)     // sf0.01
     assert(HnswGraph.slicesFor(20000L, 21) === 1)   // x10 CI gate
     assert(HnswGraph.slicesFor(200000L, 36) === 2)  // x100 sweep
     assert(HnswGraph.slicesFor(600000L, 46) === 7)  // x300 probe
-    assert(HnswGraph.slicesFor(1L << 30, 96) === 64) // cap
+    // just under the cap still derives (64·PoolPairsPerSlice pairs)
+    val mCap = 96
+    val nAtCap = 64L * HnswGraph.PoolPairsPerSlice /
+      ((2L * mCap) * (2L * mCap))
+    assert(HnswGraph.slicesFor(nAtCap, mCap) === 64)
+    // past the cap the per-slice pair bound would silently erode —
+    // r13 verdict missing #4: fail with instructions, not a disk
+    // overrun ~10× the x300 geometry later
+    val ex = intercept[IllegalArgumentException] {
+      HnswGraph.slicesFor(1L << 30, mCap)
+    }
+    assert(ex.getMessage.contains("PoolPairsPerSlice"))
   }
 
   test("sliced NN-descent is bit-identical to the single-job build: " +

@@ -43,6 +43,27 @@ class HnswSq8BuildSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("codegen sq8 pair scorer (Sq8Dot) is bit-identical to the " +
+      "interpreted HOF form it replaced") {
+    val e = corpus.where(col("vec_id") < 2000).persist()
+    e.count()
+    val q = HnswGraph.sq8Codes(e)
+    // a deterministic 38k-pair probe set spanning the id space
+    val pairs = e.select(col("vec_id").as("src"))
+      .crossJoin(spark.range(1, 21).select(col("id").as("k")))
+      .select(col("src"),
+        pmod(col("src") * 31 + col("k") * 97, lit(2000L)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val cg = HnswGraph.scorePairsSq8(q, pairs)
+    val hof = HnswGraph.scorePairsSq8Interp(q, pairs)
+    assert(cg.count() === hof.count())
+    assert(cg.exceptAll(hof).count() === 0L &&
+      hof.exceptAll(cg).count() === 0L,
+      "codegen dequantize-and-dot must reproduce the interpreted " +
+        "form's sims bit-for-bit (same association, same fold order)")
+    e.unpersist()
+  }
+
   test("quantized-scoring build: deterministic, and search recall@5 " +
       "over its graph stays within noise of the exact-scoring build") {
     val e = corpus.persist()

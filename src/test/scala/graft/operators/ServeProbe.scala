@@ -34,6 +34,11 @@ object ServeProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "graft.ForkFreeLocalFileSystem")
+      // big-corpus builds (x300+): pass SPARK_GRAFT_SHUFFLE_CODEC=zstd
+      // — the NN-descent pool shuffles ~5e9 id-pair rows and zstd
+      // halves the spill bytes for ~10-20% stage CPU (HnswSweep's knob)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -67,9 +72,13 @@ object ServeProbe {
       else {
         SnapshotMerge.dropTableAndLocation(spark, table)
         val cells = HnswGraph.signCells(e, HnswGraph.bitsFor(n))
+        // SPARK_GRAFT_BUILD_SQ8=1: byte-code pair scorer — the declared
+        // rung for corpora whose raw-vector broadcast outgrows the host
+        // (HnswSweep's knob; search below re-scores exact either way)
+        val sq8 = sys.env.get("SPARK_GRAFT_BUILD_SQ8").contains("1")
         val tb0 = System.nanoTime()
         HnswGraph.writeGraph(HnswGraph.build(e, cells, m = m,
-          stride = HnswGraph.strideFor(n)), table, n)
+          stride = HnswGraph.strideFor(n), sq8 = sq8), table, n)
         (System.nanoTime() - tb0) / 1e9
       }
       val adj = spark.table(table)
