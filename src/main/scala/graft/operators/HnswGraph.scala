@@ -1047,7 +1047,16 @@ object HnswGraph {
     * recall@5 0.891 / 12.6k scored per query, M=36 (step 5) → 0.918 /
     * 14.0k (BASELINE.md §r10; brute at that size scores 200k, so the
     * search still touches only ~7% of the corpus and the fraction
-    * SHRINKS as n grows). */
+    * SHRINKS as n grows).
+    *
+    * Measured range (r14): the 0.9 floor HOLDS through 200k vectors
+    * (0.961/0.936/0.915 at 20k/60k/200k) and reads 0.8818 at 600k
+    * (m=46) — the first measured erosion, attributed to the law's
+    * slope, NOT the sq8 build scoring (an x30 quantized build read
+    * 0.938 vs raw 0.936 — SCALING_r14.json `x30_sq8_attribution`).
+    * Past ~200k on this corpus the step may need to be 6, or ef0 a
+    * slow function of n; one m=51 build at 600k is the named probe
+    * before touching the rule. */
   val MPerDoubling = 5
   def mFor(n: Long): Int = {
     var b = 0
