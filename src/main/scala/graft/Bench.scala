@@ -145,6 +145,35 @@ object Bench {
         (name, first, again, c0, c1)
       }
 
+    // STAGE outlier re-run — same adjudication for the shared-stage rows
+    // (the r14 driver run read stage_lsh_pairs at 2.9× its band with the
+    // mechanism blind to stages, leaving d03 weak-by-default). Re-timing a
+    // stage means dropping ONLY its cache entry and re-forcing: upstream
+    // stages stay warm, so the rerun measures the same work the original
+    // row did (stages are forced in dependency order). The rebuilt frame
+    // re-enters the cache; clearStageCache below releases it as before.
+    val stageReruns: Seq[(String, Double, Double, Double, Double)] = {
+      val force = graft.queries.LlmQueries.sharedStages(spark, sfDir).toMap
+      stageRows.filter { case (name, secs, ok) =>
+        ok && bands.get(name).exists { case (_, hi) => secs > 2 * hi }
+      }.map { case (name, first, _) =>
+        val c0 = calibrate(1)
+        graft.queries.LlmQueries.dropStage(spark, sfDir,
+          name.stripPrefix("stage_"))
+        val t0 = System.nanoTime()
+        val again =
+          try { force(name)(); (System.nanoTime() - t0) / 1e9 }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] rerun $name FAILED: ${t.getMessage}")
+            Double.NaN
+          }
+        val c1 = calibrate(1)
+        System.err.println(f"[bench] outlier re-run $name: first=$first%.2f" +
+          f" rerun=$again%.2f (calib $c0%.2f/$c1%.2f)")
+        (name, first, again, c0, c1)
+      }
+    }
+
     // optional untimed metrics pass: per-query shuffle/spill volumes from
     // the operator SQLMetrics (SPARK_GRAFT_BENCH_METRICS=1). Separate
     // from the timed loop so the timing methodology stays comparable
@@ -244,7 +273,7 @@ object Bench {
         .mkString("{", ",", "}")
       s""""queries_shuffle_bytes":$sh,"queries_spill_bytes":$sp,"""
     }.getOrElse("")
-    val rerunJson = reruns.map { case (k, first, again, c0, c1) =>
+    val rerunJson = (reruns ++ stageReruns).map { case (k, first, again, c0, c1) =>
       val againJson = if (again.isNaN) "null" else again.toString
       "\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + againJson +
         ",\"recalib_t1\":[" + c0 + "," + c1 + "]}"

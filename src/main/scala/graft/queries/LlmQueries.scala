@@ -91,6 +91,17 @@ object LlmQueries {
     while (it.hasNext) { it.next().unpersist(); it.remove() }
   }
 
+  /** Unpersist and drop ONE cached stage so Bench's outlier re-run can
+    * re-time that build in isolation. Upstream stages stay cached, so
+    * the re-timing measures the same work the original row did (stages
+    * are forced in dependency order, each on warm dependencies);
+    * downstream consumers already materialized and keep their blocks.
+    * `stage` is the cache key (the bench row name minus `stage_`). */
+  def dropStage(s: SparkSession, dir: String, stage: String): Unit = {
+    val df = stageCache.remove((s, dir, stage))
+    if (df != null) df.unpersist()
+  }
+
   /** Every session-cached shared stage over the canonical corpus at
     * `dir`, in dependency order, as (name, materialize) thunks. Bench
     * times each as its own row BEFORE the query sweep: without this,
