@@ -474,7 +474,36 @@ object HnswGraph {
     * form ([[sq8Codes]]/[[scorePairsSq8]]): same dataflow, the
     * broadcast ships ~64 B/vector instead of ~512 B — the path for a
     * corpus whose raw vector table outgrows executor memory. Default
-    * false: s11/s12's oracle replays exact scoring. */
+    * false: s11/s12's oracle replays exact scoring.
+    *
+    * CONCURRENCY: a SLICED build (the `slices > 1` path — any corpus
+    * past ~10⁵ vectors at its law degree) must be the only work on its
+    * SparkContext. The per-slice scratch release diffs the context's
+    * GLOBAL shuffle/broadcast id sets, so a concurrent query's shuffle
+    * created inside a slice window is released under it (FetchFailed →
+    * recompute — slow) and a concurrent query's BROADCAST is destroyed
+    * under it, which FAILS that query outright (a destroyed broadcast
+    * throws on re-read, it is not recomputed). Two graft builds on one
+    * JVM serialize automatically (a JVM-wide lock guards the sliced
+    * path); a concurrent non-build query cannot be detected from here
+    * and is the caller's contract: run sliced builds as dedicated
+    * offline jobs, exactly as a production index build would be
+    * scheduled anyway.
+    *
+    * SIZE CEILING: [[slicesFor]] fails loudly past 64 slices —
+    * n·(2m)² > 64·[[PoolPairsPerSlice]], ~4·10¹⁰ candidate pairs,
+    * roughly n ≈ 2.4 M vectors at that size's law degree (m≈56 —
+    * checked at slice derivation, BEFORE any multi-hour work starts).
+    * Past it, one slice no longer fits the per-slice scratch bound
+    * this sandbox measured (~15-25 GB at 8·10⁸ pairs). An ~x1000 run
+    * (2 M vectors) needs either [[PoolPairsPerSlice]] raised to match
+    * the host's real scratch (a cluster's executor-aggregate scratch
+    * is 100-1000× this sandbox's — the constant, not the design, is
+    * sandbox-sized), or two-level slicing (slice the EXPANSION side
+    * `dst % j` within each src slice, bounding pairs by n·(2m)²/(k·j)
+    * at the cost of j scans of the src slice) — design recorded here
+    * so the wall has a plan behind the error message; implement only
+    * when an x1000 probe is actually attempted. */
   def build(e: DataFrame, cells: DataFrame, m: Int = DefaultM,
       stride: Long = 8L, nnRounds: Int = DefaultNnRounds,
       sq8: Boolean = false, pq: Boolean = false,
@@ -489,6 +518,21 @@ object HnswGraph {
     // should pass a persisted frame (every call site in this repo does)
     // or an explicit `slices` count.
     val sl = if (slices > 0) slices else slicesFor(e.count(), m)
+    // two sliced builds on one context would release each other's
+    // scratch (global-diff tracking) — serialize them; the unsliced
+    // path touches no global state and runs concurrently as before
+    if (sl > 1) slicedBuildLock.synchronized(
+      buildGraph(e, cells, m, stride, nnRounds, scorer, sl))
+    else buildGraph(e, cells, m, stride, nnRounds, scorer, sl)
+  }
+
+  /** JVM-wide gate for the sliced-build path — see [[build]]'s
+    * CONCURRENCY note. */
+  private val slicedBuildLock = new Object
+
+  private def buildGraph(e: DataFrame, cells: DataFrame, m: Int,
+      stride: Long, nnRounds: Int, scorer: DataFrame => DataFrame,
+      sl: Int): DataFrame = {
     val tracker = new ScratchTracker(e.sparkSession.sparkContext)
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1133,7 +1177,16 @@ object HnswGraph {
     }
     /** Unpersist checkpoint blocks by RDD id. Only call once every
       * consumer of those frames has materialized — a localCheckpoint's
-      * lineage is truncated, so freed blocks are unrecoverable. */
+      * lineage is truncated, so freed blocks are UNRECOVERABLE: a
+      * consumer that lazily reads a freed frame fails at runtime
+      * ("checkpoint block not found"), it does not recompute. The
+      * invariant is enforced by call-site ordering in [[buildGraph]]'s
+      * round loop (each free names the frame it retires and why it is
+      * dead); any future edit that adds a LAZY reader of a prior
+      * round's pool or sym (e.g. reusing them after the loop) must
+      * move or drop the corresponding free. `HnswGraphSpec`'s sliced-
+      * build spec reads the returned graph after the loop, covering
+      * the happy path. */
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))

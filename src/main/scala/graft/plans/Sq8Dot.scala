@@ -52,8 +52,17 @@ case class Sq8Dot(left: Expression, right: Expression,
     if (a == null || b == null) return null
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(math.min(aa.numElements(), bb.numElements()),
-      mnArr.length)
+    // Loud on length mismatch (corrupt code array, stale mn/mx bounds):
+    // a truncated loop would return a PLAUSIBLE-BUT-WRONG similarity,
+    // where the interpreted element_at form this kernel replaced threw.
+    // Same invariant posture as the rest of the repo; the codegen body
+    // emits the identical check.
+    if (aa.numElements() != mnArr.length ||
+        bb.numElements() != mnArr.length)
+      throw new IllegalArgumentException(
+        s"Sq8Dot: code lengths ${aa.numElements()}/${bb.numElements()}" +
+          s" != bounds length ${mnArr.length}")
+    val n = mnArr.length
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -87,9 +96,14 @@ case class Sq8Dot(left: Expression, right: Expression,
         boolean ${ev.isNull} = ${lGen.isNull} || ${rGen.isNull};
         $javaType ${ev.value} = 0.0;
         if (!${ev.isNull}) {
-          int $n = java.lang.Math.min(java.lang.Math.min(
-            ${lGen.value}.numElements(), ${rGen.value}.numElements()),
-            $mnRef.length);
+          if (${lGen.value}.numElements() != $mnRef.length ||
+              ${rGen.value}.numElements() != $mnRef.length) {
+            throw new IllegalArgumentException(
+              "Sq8Dot: code lengths " + ${lGen.value}.numElements() +
+              "/" + ${rGen.value}.numElements() +
+              " != bounds length " + $mnRef.length);
+          }
+          int $n = $mnRef.length;
           for (int $i = 0; $i < $n; $i++) {
             double $lo = $mnRef[$i];
             double $span = $mxRef[$i] - $lo;

@@ -28,6 +28,16 @@ import org.apache.spark.storage.BroadcastBlockId
   * reader gets a FetchFailed and Spark recomputes the map stage —
   * correct, merely slow — and a released broadcast re-read fails loudly;
   * neither can corrupt a result.
+  *
+  * SINGLE-BUILD ASSUMPTION (enforced where it can be): the id sets the
+  * callers diff are context-GLOBAL, so anything a CONCURRENT query
+  * creates inside a release window is released under it. For a foreign
+  * shuffle that degrades to FetchFailed+recompute; for a foreign
+  * BROADCAST it is stronger — the destroyed broadcast throws on re-read
+  * and that query FAILS outright. Two graft builds serialize through
+  * `HnswGraph.slicedBuildLock`; a concurrent non-build query cannot be
+  * detected from here and is excluded by `HnswGraph.build`'s public
+  * contract (sliced builds are dedicated offline jobs).
   */
 object SparkScratch {
 

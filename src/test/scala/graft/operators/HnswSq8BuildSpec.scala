@@ -64,6 +64,23 @@ class HnswSq8BuildSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("Sq8Dot fails loudly on a code/bounds length mismatch instead " +
+      "of truncating to a plausible-but-wrong similarity") {
+    import spark.implicits._
+    // 2-byte codes against 3-dim bounds: the r14 form silently looped
+    // min(len) elements; a corrupt code array or stale mn/mx must throw
+    val rows = Seq((Seq[Byte](1, 2), Seq[Byte](3, 4))).toDF("a", "b")
+    val bad = rows.select(graft.plans.Sq8Dot(col("a"), col("b"),
+      Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)).as("s"))
+    val ex = intercept[Exception] { bad.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("Sq8Dot")),
+      s"expected a loud Sq8Dot length error, got $ex")
+  }
+
   test("quantized-scoring build: deterministic, and search recall@5 " +
       "over its graph stays within noise of the exact-scoring build") {
     val e = corpus.persist()
