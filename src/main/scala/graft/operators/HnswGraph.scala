@@ -1082,30 +1082,45 @@ object HnswGraph {
     * sublinear where a beam-width law is linear.
     *
     * The rule: M = 16 + [[MPerDoubling]] per corpus DOUBLING above
-    * 16 Ki vectors (integer-only, like [[bitsFor]]/[[strideFor]], so
-    * Spark and the SQL oracle derive the identical M with no float
-    * edge): 500 → 16, 20k → 21, 60k → 26, 200k → 36, 1 B → ~96 —
-    * degree, build cost per node, and scored-nodes/query all O(log n).
-    * The step is 5, not 4, because the x100 sweep measured the 0.9
-    * floor BETWEEN the two laws at 200k vectors: M=32 (step 4) →
-    * recall@5 0.891 / 12.6k scored per query, M=36 (step 5) → 0.918 /
-    * 14.0k (BASELINE.md §r10; brute at that size scores 200k, so the
-    * search still touches only ~7% of the corpus and the fraction
-    * SHRINKS as n grows).
+    * 16 Ki vectors, with the step DOUBLING (a second [[MPerDoubling]]
+    * per doubling) past the [[MSuperAfter]]-th doubling (~524 Ki
+    * vectors). Integer-only, like [[bitsFor]]/[[strideFor]], so Spark
+    * and the SQL oracle derive the identical M with no float edge:
+    * 500 → 16, 20k → 21, 60k → 26, 200k → 36, 524k → 41, 600k → 51,
+    * 1 B → 151 — degree, build cost per node, and scored-nodes/query
+    * all O(log n) (the superlinear tail doubles the CONSTANT, not the
+    * growth class). The base step is 5, not 4, because the x100 sweep
+    * measured the 0.9 floor BETWEEN the two laws at 200k vectors:
+    * M=32 (step 4) → recall@5 0.891 / 12.6k scored per query, M=36
+    * (step 5) → 0.918 / 14.0k (BASELINE.md §r10; brute at that size
+    * scores 200k, so the search still touches only ~7% of the corpus
+    * and the fraction SHRINKS as n grows).
     *
-    * Measured range (r14): the 0.9 floor HOLDS through 200k vectors
-    * (0.961/0.936/0.915 at 20k/60k/200k) and reads 0.8818 at 600k
-    * (m=46) — the first measured erosion, attributed to the law's
-    * slope, NOT the sq8 build scoring (an x30 quantized build read
-    * 0.938 vs raw 0.936 — SCALING_r14.json `x30_sq8_attribution`).
-    * Past ~200k on this corpus the step may need to be 6, or ef0 a
-    * slow function of n; one m=51 build at 600k is the named probe
-    * before touching the rule. */
+    * The superlinear tail is MEASURED, not styled (r14→r15): at step
+    * 5 flat, the floor holds through 200k (0.961/0.936/0.915 at
+    * 20k/60k/200k) and READS 0.8818 AT 600k (m=46) — erosion
+    * attributed to the law's slope, not the sq8 build scoring (an x30
+    * quantized build read 0.938 vs raw 0.936 — SCALING_r14.json
+    * `x30_sq8_attribution`); the erosion per doubling steepens past
+    * 200k (−0.011/doubling before, −0.017 after). The named m=51
+    * probe (r15, SCALING_r15.json `x300_degree_law_m51`) measured
+    * recall@5 0.9081 at 600k with serving still corpus-flat
+    * (2.65 s/5-query trigger) — the floor restored at exactly the
+    * doubled step, so the law takes it: +10/doubling past b=5,
+    * measured at b=6, conservative extrapolation beyond (recall is
+    * monotone in M at fixed schedule — every sweep since r9; a
+    * future >1M probe can only relax it). Graphs at ≤524k vectors
+    * derive the SAME degree as before — every standing graph and
+    * recorded law point below b=6 is untouched by construction. */
   val MPerDoubling = 5
+  /** Corpus doublings (above 16 Ki) after which [[mFor]]'s step
+    * doubles — the r15 measured break point of the flat-step law. */
+  val MSuperAfter = 5
   def mFor(n: Long): Int = {
     var b = 0
     while ((16384L << b) < n) b += 1
-    DefaultM + MPerDoubling * b
+    DefaultM + MPerDoubling * b +
+      MPerDoubling * math.max(0, b - MSuperAfter)
   }
   /** NN-descent refinement rounds in [[build]] — shared with the SQL
     * oracle generator like the schedule constants above. */

@@ -3270,10 +3270,13 @@ object LlmQueries {
        |       FROM range(3, 41) t(x), cnt
        |       WHERE CAST(power(2, x) AS BIGINT) * 768 >= nn),
        |mm AS (SELECT ${graft.operators.HnswGraph.DefaultM}
+       |         + ${graft.operators.HnswGraph.MPerDoubling} * b
        |         + ${graft.operators.HnswGraph.MPerDoubling}
-       |         * CAST(min(x) AS INTEGER) m
-       |       FROM range(0, 41) t(x), cnt
-       |       WHERE CAST(power(2, x) AS BIGINT) * 16384 >= nn),
+       |         * greatest(0, b - ${graft.operators.HnswGraph.MSuperAfter})
+       |         m
+       |       FROM (SELECT CAST(min(x) AS INTEGER) b
+       |             FROM range(0, 41) t(x), cnt
+       |             WHERE CAST(power(2, x) AS BIGINT) * 16384 >= nn)),
        |dirs AS (SELECT vec_id i, v dv FROM e, hh WHERE vec_id < h),
        |bits AS (SELECT n.vec_id, d.i,
        |    CASE WHEN round(${ddot("n.v", "d.dv")}, 6) >= 0

@@ -16,7 +16,8 @@ class HnswGraphSpec extends SparkSpec {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  test("mFor: +5 per corpus doubling above 16 Ki, exact at the " +
+  test("mFor: +5 per corpus doubling above 16 Ki, step doubling past " +
+      "the 5th doubling (the r15-measured break), exact at the " +
       "boundaries the SQL oracle derives with power(2,x)") {
     assert(HnswGraph.mFor(1L) === 16)
     assert(HnswGraph.mFor(500L) === 16)      // sf0.01 — oracle-checked
@@ -27,7 +28,15 @@ class HnswGraphSpec extends SparkSpec {
     assert(HnswGraph.mFor(32769L) === 26)
     assert(HnswGraph.mFor(60000L) === 26)    // x30 sweep corpus
     assert(HnswGraph.mFor(200000L) === 36)   // x100 sweep corpus
-    assert(HnswGraph.mFor(1L << 30) === 96)  // the 1 B scaladoc claim
+    // flat-step tail ends at b=5: every standing graph ≤ 524 Ki keeps
+    // its degree across the r15 law change by construction
+    assert(HnswGraph.mFor(524288L) === 41)
+    // b=6: m=46 (flat) MEASURED 0.8818 < the 0.9 floor at 600k; the
+    // doubled step's 51 measured 0.9081 (SCALING_r15 degree_law_probe)
+    assert(HnswGraph.mFor(524289L) === 51)
+    assert(HnswGraph.mFor(600000L) === 51)   // x300 probe corpus
+    assert(HnswGraph.mFor(1048577L) === 61)  // b=7: +10/doubling tail
+    assert(HnswGraph.mFor(1L << 30) === 151) // the 1 B scaladoc claim
   }
 
   test("slicesFor: 1 slice until the pool passes the per-slice pair " +
@@ -35,7 +44,8 @@ class HnswGraphSpec extends SparkSpec {
     assert(HnswGraph.slicesFor(500L, 16) === 1)     // sf0.01
     assert(HnswGraph.slicesFor(20000L, 21) === 1)   // x10 CI gate
     assert(HnswGraph.slicesFor(200000L, 36) === 2)  // x100 sweep
-    assert(HnswGraph.slicesFor(600000L, 46) === 7)  // x300 probe
+    assert(HnswGraph.slicesFor(600000L, 46) === 7)  // x300 r14 probe
+    assert(HnswGraph.slicesFor(600000L, 51) === 8)  // x300 law degree
     // just under the cap still derives (64·PoolPairsPerSlice pairs)
     val mCap = 96
     val nAtCap = 64L * HnswGraph.PoolPairsPerSlice /
