@@ -111,16 +111,23 @@ object LlmQueries {
     * count() materializes the persisted blocks the same way the first
     * consumer would. */
   def sharedStages(s: SparkSession, dir: String): Seq[(String, () => Long)] =
+    sharedStageFrames(s, dir).map { case (n, f) => (n, () => f().count()) }
+
+  /** The shared-stage frames themselves (same names/order as
+    * [[sharedStages]]) — for plan capture and other non-timing
+    * consumers that want the DataFrame, not the forcing action. */
+  def sharedStageFrames(s: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] =
     Seq(
-      ("stage_shingle_fps", () => corpusFps(s, dir).count()),
-      ("stage_lsh_pairs", () => corpusLshPairs(s, dir).count()),
-      ("stage_jaccard_pairs", () => corpusJaccardPairs(s, dir).count()),
-      ("stage_lm_doc_scores", () => lmDocScores(s, dir).count()),
-      ("stage_contam_fps", () => contamFps(s, dir).count()),
-      ("stage_dsir_feats", () => dsirFeats(s, dir).count()),
-      ("stage_source_fps", () => sourceFps(s, dir).count()),
-      ("stage_dup_labels", () => corpusDupLabels(s, dir).count()),
-      ("stage_hnsw_graph", () => corpusHnswGraph(s, dir).count()))
+      ("stage_shingle_fps", () => corpusFps(s, dir)),
+      ("stage_lsh_pairs", () => corpusLshPairs(s, dir)),
+      ("stage_jaccard_pairs", () => corpusJaccardPairs(s, dir)),
+      ("stage_lm_doc_scores", () => lmDocScores(s, dir)),
+      ("stage_contam_fps", () => contamFps(s, dir)),
+      ("stage_dsir_feats", () => dsirFeats(s, dir)),
+      ("stage_source_fps", () => sourceFps(s, dir)),
+      ("stage_dup_labels", () => corpusDupLabels(s, dir)),
+      ("stage_hnsw_graph", () => corpusHnswGraph(s, dir)))
 
   /** (doc_id, f) shingle fingerprints of the full corpus — d02/d03/d04/
     * d08/d10. */
@@ -997,8 +1004,12 @@ object LlmQueries {
     * bucketing is a map-side expression. Nothing new shuffles the
     * corpus. */
   def p06LeakageSplit(s: SparkSession, dir: String): DataFrame = {
-    val cl = graft.operators.DupClusters.clusters(
-        corpusLshPairs(s, dir).select(col("a"), col("b")))
+    // the session-cached d08 cluster stage IS this derivation
+    // (DupClusters.clusters over the corpus LSH pair list) — re-running
+    // the min-label iteration here paid the whole O(diameter) loop a
+    // second time per sweep (measured 5.0 s vs d08's 0.07 s on the same
+    // labels; guide §1.2 "don't compute things you throw away")
+    val cl = corpusDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("lbl"))
     val keyed = docs(s, dir).select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
@@ -1523,13 +1534,19 @@ object LlmQueries {
     val variants = d.select(col("doc_id").as("b"), col("lang").as("vlang"),
       translate(col("pfx"), "e", "3").as("vb"), col("n_chars").as("lb"),
       col("bkt").as("vbkt"))
+    // threshold form: levenshtein(l, r, 8) runs the BANDED DP (O(len·th)
+    // cells with early exit, vs O(len²) for the plain form) and returns
+    // -1 above the threshold — on the ~10⁶ banded candidate pairs the
+    // filter scans, that is the whole hot loop (guide §1.2 step 2:
+    // per-task work). For surviving pairs (dist ≤ 8) the returned value
+    // IS the exact distance, so the output is unchanged.
     probes.join(variants,
         col("lang") === col("vlang") && col("pb_bkt") === col("vbkt") &&
           col("a") < col("b"))
       .where(abs(col("la") - col("lb")) <= 8 &&
-        levenshtein(col("pa"), col("vb")) <= 8)
+        levenshtein(col("pa"), col("vb"), 8) >= 0)
       .select(col("a"), col("b"),
-        levenshtein(col("pa"), col("vb")).cast("long").as("dist"))
+        levenshtein(col("pa"), col("vb"), 8).cast("long").as("dist"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -2303,21 +2320,33 @@ object LlmQueries {
     * probe many" pattern), and every search hop joins it
     * bucket-for-bucket. Probe set: every 7th vector; recall floor vs
     * the s01 brute answer pinned in `HnswGraphSpec`. */
-  def s11AnnHnsw(s: SparkSession, dir: String): DataFrame = {
-    val e = hnswEmb(s, dir)
-    val adj = corpusHnswGraph(s, dir)
-    val qs = e.where(col("vec_id") % 7 === 0)
-      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
-    // the partition modulus of the standing layout — derived from the
-    // persisted build-time size, so search and table agree even when a
-    // later append grew the corpus (pruning changes the scan, never the
-    // result; the oracle replays logic, not layout)
-    val ptMod = graft.operators.TableCommit
-      .readMarker(s, "s11_hnsw_graph", "meta")
-      .map(v => graft.operators.HnswGraph.ptFor(v.toLong)).getOrElse(0L)
-    graft.operators.HnswGraph.search(adj, e, qs, ptMod = ptMod)
-      .orderBy(col("q"), col("rk"))
-  }
+  def s11AnnHnsw(s: SparkSession, dir: String): DataFrame =
+    corpusHnswAnn(s, dir).orderBy(col("q"), col("rk"))
+
+  /** s11's graph search over the standing probe set, session-cached like
+    * the stages it reads: s12's recall readout replays s11's search
+    * verbatim (`ann = s11`), so without this a sweep paid the identical
+    * multi-hop descent TWICE — once in the s11 row and once again inside
+    * s12 (measured ~5 s of s12's 6.8 s band; the r9 graph-CONSTRUCTION
+    * dedup, applied to the search result). The first consumer (s11 — it
+    * sorts before s12 in the sweep) still pays and times the search;
+    * the result is k·|Q| rows, trivially cacheable. */
+  private def corpusHnswAnn(s: SparkSession, dir: String): DataFrame =
+    cachedStage(s, dir, "hnsw_ann") {
+      val e = hnswEmb(s, dir)
+      val adj = corpusHnswGraph(s, dir)
+      val qs = e.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      // the partition modulus of the standing layout — derived from the
+      // persisted build-time size, so search and table agree even when a
+      // later append grew the corpus (pruning changes the scan, never the
+      // result; the oracle replays logic, not layout)
+      val ptMod = graft.operators.TableCommit
+        .readMarker(s, "s11_hnsw_graph", "meta")
+        .map(v => graft.operators.HnswGraph.ptFor(v.toLong)).getOrElse(0L)
+      graft.operators.HnswGraph.search(adj, e, qs, ptMod = ptMod)
+    }
 
   /** (vec_id, v, nrm) — the graph family's embedding frame, one
     * derivation shared by s11/s12 and the graph stage. */
@@ -2364,7 +2393,7 @@ object LlmQueries {
     * linear path. */
   def s12GraphRecall(s: SparkSession, dir: String): DataFrame = {
     val e = hnswEmb(s, dir)
-    val ann = s11AnnHnsw(s, dir)
+    val ann = corpusHnswAnn(s, dir)
       .select(col("q").as("aq"), col("nb").as("anb"))
     val qs = e.where(col("vec_id") % 7 === 0)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
